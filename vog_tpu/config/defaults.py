@@ -1,0 +1,168 @@
+"""Config system: frozen dataclasses mirroring the reference yaml schema.
+
+Reference parity: ``configs/anet_srl_cfg.yml`` + ``code/extended_config.py``
+(yacs CfgNode, dotted-key CLI overrides, post-processing that derives
+``num_prop_per_frm`` from ``ds.exp_setting`` and conc-type-dependent sizes).
+We keep the same nested group names (``ds``, ``mdl``, ``train``, ``misc``)
+so reference-style dotted overrides (``--ds.conc_type=spat``) port 1:1.
+
+The reference mount was empty this round (SURVEY.md §0) — exact key names
+inside groups are reconstructed [C-MED]; the *behavioral* knobs (gt5/p100,
+svsq/sep/temp/spat, model selector, train hyperparams) are the contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import yaml
+
+
+@dataclass
+class DsCfg:
+    """Dataset group — reference ``cfg.ds``."""
+
+    data_dir: str = "data/asrl"
+    exp_setting: str = "gt5"  # gt5 | p100  (reference ds.exp_setting)
+    conc_type: str = "svsq"  # svsq | sep | temp | spat (reference ds.conc_type)
+    num_frms: int = 10  # frames uniformly sampled per segment
+    num_props_gt5: int = 5
+    num_props_p100: int = 100
+    ncmp: int = 4  # videos per contrastive group (SEP/TEMP/SPAT)
+    max_srl_args: int = 5  # padded SRL args per query
+    max_seq_len: int = 40  # padded query token length
+    prop_dim: int = 2048  # RoI fc6 feature dim
+    seg_dim: int = 3072  # TSN segment feature dim (2048 rgb + 1024 flow)
+    glove_dim: int = 300
+    num_roles: int = 24  # SRL role vocabulary size (V, ARG0..ARGM-*)
+    shuffle_cmp: bool = True  # shuffle positive position in train groups
+    # derived (post_proc_config equivalent):
+    num_prop_per_frm: int = 5
+    num_cmp: int = 1  # 1 for svsq else ncmp
+
+
+@dataclass
+class MdlCfg:
+    """Model group — reference ``cfg.mdl`` (+ mdl_selector keys)."""
+
+    name: str = "vog"  # img_grnd | vid_grnd | vog (reference mdl.name)
+    emb_dim: int = 300  # GloVe dim
+    lstm_dim: int = 256  # per-direction BiLSTM hidden
+    vis_dim: int = 512  # visual/lang projection dim
+    role_dim: int = 128  # SRL role-label embedding dim
+    n_heads: int = 4
+    obj_tx_layers: int = 1  # VidGrnd object-transformer layers
+    mm_tx_layers: int = 1  # VOGNet multimodal-transformer layers
+    ff_mult: int = 4
+    dropout: float = 0.1
+    rpe_max_dist: int = 10  # relative-frame-distance clip for RPE
+    use_pallas_attn: bool = True  # fused Pallas attention on TPU
+    train_embeddings: bool = False  # fine-tune GloVe
+
+
+@dataclass
+class TrainCfg:
+    """Trainer group — reference ``cfg.train``."""
+
+    bs: int = 4  # per-device batch (groups per device)
+    epochs: int = 10
+    lr: float = 1e-4
+    wd: float = 0.0
+    grad_clip: float = 1.0
+    seed: int = 42
+    resume: bool = False
+    resume_path: str = ""
+    log_every: int = 10
+    ckpt_every_steps: int = 0  # 0 = per-epoch only
+    num_eval_batches: int = 0  # 0 = all
+
+
+@dataclass
+class MiscCfg:
+    tmp_path: str = "tmp"
+    mesh_data: int = -1  # -1 = all devices on data axis
+    mesh_model: int = 1
+    half_feats: bool = False  # store features bf16 in HBM (compute stays fp32)
+
+
+@dataclass
+class Cfg:
+    ds: DsCfg = field(default_factory=DsCfg)
+    mdl: MdlCfg = field(default_factory=MdlCfg)
+    train: TrainCfg = field(default_factory=TrainCfg)
+    misc: MiscCfg = field(default_factory=MiscCfg)
+    uid: str = "dbg"
+
+    # -- derived helpers ---------------------------------------------------
+    @property
+    def num_props(self) -> int:
+        return self.ds.num_prop_per_frm
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+
+def post_proc_config(cfg: Cfg) -> Cfg:
+    """Derive dependent keys — reference ``code/extended_config.py
+    §post_proc_config``: num_prop_per_frm from exp_setting, num_cmp from
+    conc_type."""
+    cfg.ds.num_prop_per_frm = (
+        cfg.ds.num_props_gt5 if cfg.ds.exp_setting == "gt5" else cfg.ds.num_props_p100
+    )
+    cfg.ds.num_cmp = 1 if cfg.ds.conc_type == "svsq" else cfg.ds.ncmp
+    assert cfg.ds.exp_setting in ("gt5", "p100"), cfg.ds.exp_setting
+    assert cfg.ds.conc_type in ("svsq", "sep", "temp", "spat"), cfg.ds.conc_type
+    assert cfg.mdl.name in ("img_grnd", "vid_grnd", "vog"), cfg.mdl.name
+    return cfg
+
+
+def _set_dotted(cfg: Any, key: str, value: Any) -> None:
+    parts = key.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if not hasattr(obj, leaf):
+        raise KeyError(f"unknown config key: {key}")
+    cur = getattr(obj, leaf)
+    if cur is not None and not isinstance(value, type(cur)):
+        if isinstance(cur, bool):
+            value = str(value).lower() in ("1", "true", "yes")
+        else:
+            value = type(cur)(value)
+    setattr(obj, leaf, value)
+
+
+def update_from_dict(cfg: Cfg, overrides: Dict[str, Any]) -> Cfg:
+    """Apply dotted-key overrides — reference ``extended_config.py
+    §update_from_dict`` (CLI ``--ds.conc_type=spat`` style)."""
+    for k, v in overrides.items():
+        _set_dotted(cfg, k.lstrip("-"), v)
+    return cfg
+
+
+def _merge_nested(cfg: Cfg, d: Dict[str, Any], prefix: str = "") -> None:
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            _merge_nested(cfg, v, prefix=f"{key}.")
+        else:
+            _set_dotted(cfg, key, v)
+
+
+def get_default_cfg(yml_path: Optional[str] = None) -> Cfg:
+    """Build the default config, optionally merging a yaml file with the
+    same nested schema — reference ``extended_config.py §get_default_cfg``
+    loading ``configs/anet_srl_cfg.yml``."""
+    cfg = Cfg()
+    if yml_path:
+        with open(yml_path) as f:
+            loaded = yaml.safe_load(f) or {}
+        _merge_nested(cfg, loaded)
+    return post_proc_config(cfg)

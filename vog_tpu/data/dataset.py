@@ -1,0 +1,224 @@
+"""ASRL dataset: feature readers + per-query group assembly + padding.
+
+Reference parity: ``code/dat_loader_simple.py`` (Dataset ``__getitem__``
+returning a dict of padded tensors for a contrastive 4-video group) plus its
+h5/npy feature readers and target construction.  SURVEY.md §3.3 documents
+the reference hot loop this reimplements:
+
+  ann = srl_annots[idx]; partners = cs_dict[idx] (3 sampled train / fixed val)
+  for each of ncmp videos: read RoI feats (F,P,2048)+boxes+scores from h5,
+  seg feats from npy, normalize boxes to 5-d; tokens -> GloVe ids; SRL args
+  -> (role_id, span); targets = IoU>=0.5 proposals vs GT in annotated
+  frames; pad everything to fixed shapes.
+
+Key difference from the reference: the SPAT/TEMP *concatenation* of the
+group is NOT done here on the host — the dataset always emits the uniform
+``(V, F, P, …)`` stacked layout and ``vog_tpu/sampling/conc.py`` fuses the
+group on-device under jit (north-star requirement).
+
+Output dict (per query; V = ds.num_cmp, F frames, P props/frame, A args,
+L tokens):
+  props          (V,F,P,prop_dim) f32   RoI fc6 features
+  prop_boxes     (V,F,P,5)       f32   normalized x1,y1,x2,y2,area
+  prop_mask      (V,F,P)         f32   1 = valid proposal
+  seg_feats      (V,F,seg_dim)   f32   TSN segment features
+  tokens         (L,)            i32   GloVe ids (0 pad)
+  seq_len        ()              i32
+  verb_idx       ()              i32   token index of the verb
+  srl_roles      (A,)            i32   role-vocab ids (0 pad)
+  srl_spans      (A,2)           i32   inclusive token span per arg
+  srl_arg_mask   (A,)            f32   1 = arg present (has GT boxes)
+  targets        (V,A,F,P)       f32   IoU>=0.5 labels (pos video only)
+  gt_boxes       (A,F,4)         f32   normalized GT box per annotated frame
+  gt_frame_mask  (A,F)           f32   1 = arg annotated in this frame
+  pos_vid        ()              i32   slot of the positive video in group
+  ann_idx        ()              i32
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import h5py
+import numpy as np
+
+from vog_tpu.config import Cfg
+from vog_tpu.data.boxes import iou_matrix, normalize_boxes
+from vog_tpu.data.contrastive import ContrastiveSampler
+from vog_tpu.data.vocab import Vocab, load_annotations, role_to_id
+
+IOU_THRESH = 0.5  # reference: proposals with IoU>=0.5 vs GT are positives
+
+
+class FeatureStore:
+    """RoI h5 + segment npy reader, optionally fully preloaded to RAM.
+
+    Reference parity: per-batch h5 reads in DataLoader workers were the
+    reference's host I/O hot path (SURVEY §3.3); we preload at fixture
+    scale and keep lazy reads for the real dataset.
+    """
+
+    def __init__(self, data_dir: str | Path, preload: bool = True):
+        self.data_dir = Path(data_dir)
+        self.h5_path = self.data_dir / "roi_feats.h5"
+        self.seg_dir = self.data_dir / "seg_feats"
+        with open(self.data_dir / "vid_dims.json") as f:
+            self.vid_dims: Dict[str, List[int]] = json.load(f)
+        self._h5: Optional[h5py.File] = None
+        self._cache: Dict[str, tuple] = {}
+        if preload:
+            with h5py.File(self.h5_path, "r") as h5:
+                for k in h5.keys():
+                    self._cache[k] = (
+                        np.asarray(h5[k]["feats"], np.float32),
+                        np.asarray(h5[k]["boxes"], np.float32),
+                        np.asarray(h5[k]["scores"], np.float32),
+                        np.load(self.seg_dir / f"{k}.npy").astype(np.float32),
+                    )
+
+    def get(self, vid_seg: str) -> tuple:
+        """-> (feats (F,P,D), boxes_abs (F,P,4), scores (F,P), seg (F,Dv))."""
+        if vid_seg in self._cache:
+            return self._cache[vid_seg]
+        if self._h5 is None:
+            self._h5 = h5py.File(self.h5_path, "r")
+        g = self._h5[vid_seg]
+        return (
+            np.asarray(g["feats"], np.float32),
+            np.asarray(g["boxes"], np.float32),
+            np.asarray(g["scores"], np.float32),
+            np.load(self.seg_dir / f"{vid_seg}.npy").astype(np.float32),
+        )
+
+    def dims(self, vid_seg: str) -> tuple:
+        w, h = self.vid_dims[vid_seg]
+        return float(w), float(h)
+
+
+class AnetSRLDataset:
+    """The L1 dataset (reference ``dat_loader_simple.py`` Dataset class)."""
+
+    def __init__(self, cfg: Cfg, split: str, vocab: Vocab, store: FeatureStore):
+        self.cfg = cfg
+        self.split = split
+        self.vocab = vocab
+        self.store = store
+        data_dir = Path(cfg.ds.data_dir)
+        self.anns = load_annotations(data_dir / f"anns_{split}.jsonl")
+        with open(data_dir / f"cs_dict_{split}.json") as f:
+            cs_dict = json.load(f)
+        self.sampler = ContrastiveSampler(
+            cs_dict,
+            n_anns=len(self.anns),
+            ncmp=cfg.ds.num_cmp,
+            is_train=(split == "train"),
+            shuffle_cmp=cfg.ds.shuffle_cmp,
+            seed=cfg.train.seed,
+        )
+
+    def __len__(self) -> int:
+        return len(self.anns)
+
+    # -- per-video feature block -------------------------------------------
+    def _video_block(self, vid_seg: str):
+        cfg = self.cfg.ds
+        F, P = cfg.num_frms, cfg.num_prop_per_frm
+        feats, boxes_abs, scores, seg = self.store.get(vid_seg)
+        w, h = self.store.dims(vid_seg)
+        f0, p0 = feats.shape[0], feats.shape[1]
+        props = np.zeros((F, P, cfg.prop_dim), np.float32)
+        pbox = np.zeros((F, P, 5), np.float32)
+        pmask = np.zeros((F, P), np.float32)
+        segf = np.zeros((F, cfg.seg_dim), np.float32)
+        fi, pi = min(f0, F), min(p0, P)
+        props[:fi, :pi] = feats[:fi, :pi]
+        pbox[:fi, :pi] = normalize_boxes(boxes_abs[:fi, :pi], w, h)
+        pmask[:fi, :pi] = 1.0
+        segf[: min(seg.shape[0], F)] = seg[:F]
+        return props, pbox, pmask, segf, boxes_abs[:fi, :pi], (w, h)
+
+    # -- main entry ----------------------------------------------------------
+    def __getitem__(self, idx: int, rng: np.random.Generator | None = None) -> Dict:
+        cfg = self.cfg.ds
+        V, F, P, A, L = (
+            cfg.num_cmp,
+            cfg.num_frms,
+            cfg.num_prop_per_frm,
+            cfg.max_srl_args,
+            cfg.max_seq_len,
+        )
+        ann = self.anns[idx]
+        partners, pos_slot = self.sampler.sample_group(idx, rng)
+        group_anns = [self.anns[j] for j in partners]
+        group_anns.insert(pos_slot, ann)
+
+        props = np.zeros((V, F, P, cfg.prop_dim), np.float32)
+        pbox = np.zeros((V, F, P, 5), np.float32)
+        pmask = np.zeros((V, F, P), np.float32)
+        segf = np.zeros((V, F, cfg.seg_dim), np.float32)
+        pos_abs_boxes = None
+        pos_dims = None
+        for v, g in enumerate(group_anns):
+            pr, pb, pm, sg, abs_b, dims = self._video_block(g["vid_seg"])
+            props[v], pbox[v], pmask[v], segf[v] = pr, pb, pm, sg
+            if v == pos_slot:
+                pos_abs_boxes, pos_dims = abs_b, dims
+
+        # language ------------------------------------------------------------
+        tokens = np.zeros((L,), np.int32)
+        ids = self.vocab.encode(ann["tokens"])[:L]
+        tokens[: len(ids)] = ids
+        seq_len = np.int32(len(ids))
+        verb_idx = np.int32(min(ann["verb_idx"], len(ids) - 1))
+
+        srl_roles = np.zeros((A,), np.int32)
+        srl_spans = np.zeros((A, 2), np.int32)
+        srl_arg_mask = np.zeros((A,), np.float32)
+        gt_boxes = np.zeros((A, F, 4), np.float32)
+        gt_frame_mask = np.zeros((A, F), np.float32)
+        targets = np.zeros((V, A, F, P), np.float32)
+
+        w, h = pos_dims
+        for a, arg in enumerate(ann["args"][:A]):
+            srl_roles[a] = role_to_id(arg["role"])
+            s, e = arg["span"]
+            srl_spans[a] = [min(s, L - 1), min(e, L - 1)]
+            srl_arg_mask[a] = 1.0
+            for bx in arg["boxes"]:
+                fr = int(bx["frame"])
+                if fr >= F:
+                    continue
+                gt_abs = np.asarray(bx["box"], np.float32)
+                gt_boxes[a, fr] = normalize_boxes(gt_abs, w, h)[:4]
+                gt_frame_mask[a, fr] = 1.0
+                if pos_abs_boxes is not None and fr < pos_abs_boxes.shape[0]:
+                    ious = iou_matrix(pos_abs_boxes[fr], gt_abs[None])[:, 0]
+                    pi = ious.shape[0]
+                    targets[pos_slot, a, fr, :pi] = (ious >= IOU_THRESH).astype(
+                        np.float32
+                    )
+
+        return {
+            "props": props,
+            "prop_boxes": pbox,
+            "prop_mask": pmask,
+            "seg_feats": segf,
+            "tokens": tokens,
+            "seq_len": seq_len,
+            "verb_idx": verb_idx,
+            "srl_roles": srl_roles,
+            "srl_spans": srl_spans,
+            "srl_arg_mask": srl_arg_mask,
+            "targets": targets,
+            "gt_boxes": gt_boxes,
+            "gt_frame_mask": gt_frame_mask,
+            "pos_vid": np.int32(pos_slot),
+            "ann_idx": np.int32(idx),
+        }
+
+
+def get_vocab(cfg: Cfg) -> Vocab:
+    data_dir = Path(cfg.ds.data_dir)
+    return Vocab.from_glove_txt(data_dir / "glove.txt")

@@ -1,0 +1,226 @@
+"""Synthetic mini-ASRL fixture generator.
+
+The real ActivityNet-SRL data (reference ``data/download_data.sh``: SRL
+annotation csvs, Faster R-CNN RoI fc6 h5, TSN ``rgb_motion_1d`` npy feats,
+GloVe) cannot be downloaded in this environment, so every test and smoke
+train runs on a *synthetic but real-shaped and learnable* mini dataset with
+the exact on-disk schema our readers consume:
+
+  out_dir/
+    anns_train.jsonl / anns_valid.jsonl / anns_test.jsonl
+    roi_feats.h5            # per vid_seg group: feats (F,P,2048f32),
+                            #   boxes (F,P,4 abs xyxy), scores (F,P)
+    seg_feats/{vid_seg}.npy # (F, seg_dim) TSN-like segment features
+    vid_dims.json           # {vid_seg: [W, H]}
+    glove.txt               # GloVe-format word vectors
+    cs_dict_train.json / cs_dict_valid.json / cs_dict_test.json
+
+Annotation json-lines schema (one query per line) — content-equivalent to
+the reference's SRL csvs produced by ``dcode/`` (sentence tokens, verb index
+and lemma, per-arg role/span/lemma and GT boxes per annotated frame):
+
+  {"ann_idx": 0, "vid_seg": "v000_s00", "tokens": [...], "verb_idx": 2,
+   "verb_lemma": "throw",
+   "args": [{"role": "ARG0", "span": [0, 1], "lemma": "man",
+             "boxes": [{"frame": 3, "box": [x1, y1, x2, y2]}]}, ...]}
+
+Learnability: each object word has a latent 2048-d direction; proposals
+covering that object carry its direction (+noise) as their RoI feature, so a
+grounding model can learn word->region association.  Verbs likewise have a
+latent direction in the segment feature.  GloVe vectors are random unit
+vectors (fixed seed).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Tuple
+
+import h5py
+import numpy as np
+
+from vog_tpu.data.boxes import iou_matrix
+from vog_tpu.data.contrastive import build_cs_dict
+
+OBJECTS = [
+    "man", "woman", "dog", "cat", "ball", "car", "bike", "guitar",
+    "table", "chair", "cup", "phone", "book", "hat", "horse", "boat",
+]
+VERBS = ["throw", "catch", "ride", "play", "hold", "push", "pull", "watch"]
+FILLER = ["the", "a", "near", "with", "on"]
+
+TEMPLATE_ROLES = ["ARG0", "ARG1", "ARGM-LOC"]
+
+
+def _rand_box(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    x1 = rng.uniform(0, w * 0.6)
+    y1 = rng.uniform(0, h * 0.6)
+    bw = rng.uniform(w * 0.15, w * 0.4)
+    bh = rng.uniform(h * 0.15, h * 0.4)
+    return np.array([x1, y1, min(x1 + bw, w - 1), min(y1 + bh, h - 1)], np.float32)
+
+
+def _jitter_box(rng: np.random.Generator, box: np.ndarray, w: int, h: int, frac: float) -> np.ndarray:
+    bw, bh = box[2] - box[0], box[3] - box[1]
+    d = rng.uniform(-frac, frac, size=4) * np.array([bw, bh, bw, bh])
+    out = box + d
+    out[0] = np.clip(out[0], 0, w - 2)
+    out[1] = np.clip(out[1], 0, h - 2)
+    out[2] = np.clip(out[2], out[0] + 1, w - 1)
+    out[3] = np.clip(out[3], out[1] + 1, h - 1)
+    return out.astype(np.float32)
+
+
+def generate_fixture(
+    out_dir: str | Path,
+    n_train: int = 80,
+    n_valid: int = 24,
+    n_test: int = 24,
+    num_frms: int = 10,
+    num_props: int = 5,
+    prop_dim: int = 2048,
+    seg_dim: int = 3072,
+    glove_dim: int = 300,
+    seed: int = 0,
+) -> Path:
+    """Write a full mini-ASRL dataset; returns out_dir."""
+    out_dir = Path(out_dir)
+    (out_dir / "seg_feats").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    words = sorted(set(OBJECTS + VERBS + FILLER))
+    glove = {w: rng.normal(size=glove_dim).astype(np.float32) for w in words}
+    for w in glove:
+        glove[w] /= np.linalg.norm(glove[w])
+    with open(out_dir / "glove.txt", "w") as f:
+        for w, v in glove.items():
+            f.write(w + " " + " ".join(f"{x:.5f}" for x in v) + "\n")
+
+    obj_dirs = {o: rng.normal(size=prop_dim).astype(np.float32) for o in OBJECTS}
+    for o in obj_dirs:
+        obj_dirs[o] /= np.linalg.norm(obj_dirs[o])
+    verb_dirs = {v: rng.normal(size=seg_dim).astype(np.float32) for v in VERBS}
+
+    splits = {"train": n_train, "valid": n_valid, "test": n_test}
+    vid_dims: Dict[str, List[int]] = {}
+    h5f = h5py.File(out_dir / "roi_feats.h5", "w")
+    ann_idx_global = 0
+    split_anns: Dict[str, List[dict]] = {}
+
+    for split, n in splits.items():
+        anns: List[dict] = []
+        for i in range(n):
+            vid_seg = f"{split[:2]}{i:04d}_s00"
+            w, h = int(rng.integers(400, 800)), int(rng.integers(300, 600))
+            vid_dims[vid_seg] = [w, h]
+            verb = VERBS[int(rng.integers(len(VERBS)))]
+            n_args = int(rng.integers(1, len(TEMPLATE_ROLES) + 1))
+            objs = list(rng.choice(OBJECTS, size=n_args, replace=False))
+
+            # sentence: "the <o0> <verb> [the <o1>] [near the <o2>]"
+            tokens = ["the", objs[0], verb]
+            spans = [[1, 1]]
+            if n_args >= 2:
+                tokens += ["the", objs[1]]
+                spans.append([4, 4])
+            if n_args >= 3:
+                tokens += ["near", "the", objs[2]]
+                spans.append([len(tokens) - 1, len(tokens) - 1])
+            verb_idx = 2
+
+            # per-object persistent box track + per-arg annotated frames
+            obj_boxes = {o: _rand_box(rng, w, h) for o in objs}
+            args = []
+            ann_frames: Dict[int, List[Tuple[str, np.ndarray]]] = {
+                f: [] for f in range(num_frms)
+            }
+            for a, (o, role) in enumerate(zip(objs, TEMPLATE_ROLES[:n_args])):
+                n_f = int(rng.integers(1, 3))
+                frames = sorted(rng.choice(num_frms, size=n_f, replace=False).tolist())
+                boxes = []
+                for fr in frames:
+                    gt = _jitter_box(rng, obj_boxes[o], w, h, 0.05)
+                    boxes.append({"frame": int(fr), "box": gt.tolist()})
+                    ann_frames[fr].append((o, gt))
+                args.append(
+                    {"role": role, "span": spans[a], "lemma": o, "boxes": boxes}
+                )
+
+            # proposals: every frame has num_props boxes; in annotated
+            # frames the first slots overlap the GT (GT5 regime semantics:
+            # GT-overlapping proposal included — reference dcode GT5
+            # builder); features encode the covered object's direction.
+            feats = rng.normal(scale=0.3, size=(num_frms, num_props, prop_dim)).astype(
+                np.float32
+            )
+            boxes_arr = np.zeros((num_frms, num_props, 4), np.float32)
+            scores = rng.uniform(0.1, 1.0, size=(num_frms, num_props)).astype(
+                np.float32
+            )
+            for fr in range(num_frms):
+                gts = ann_frames[fr]
+                for p in range(num_props):
+                    if p < len(gts):
+                        o, gt = gts[p]
+                        boxes_arr[fr, p] = _jitter_box(rng, gt, w, h, 0.08)
+                        feats[fr, p] += 2.0 * obj_dirs[o]
+                    else:
+                        # distractor: random other object or background
+                        if rng.uniform() < 0.5:
+                            o2 = OBJECTS[int(rng.integers(len(OBJECTS)))]
+                            boxes_arr[fr, p] = _rand_box(rng, w, h)
+                            feats[fr, p] += 2.0 * obj_dirs[o2]
+                        else:
+                            boxes_arr[fr, p] = _rand_box(rng, w, h)
+                # guarantee distractors don't accidentally overlap GT
+                for p in range(len(gts), num_props):
+                    for o, gt in gts:
+                        if iou_matrix(boxes_arr[fr, p][None], gt[None])[0, 0] >= 0.5:
+                            boxes_arr[fr, p] = np.array(
+                                [0, 0, w * 0.05, h * 0.05], np.float32
+                            )
+
+            g = h5f.create_group(vid_seg)
+            g.create_dataset("feats", data=feats)
+            g.create_dataset("boxes", data=boxes_arr)
+            g.create_dataset("scores", data=scores)
+
+            seg = rng.normal(scale=0.3, size=(num_frms, seg_dim)).astype(np.float32)
+            seg += verb_dirs[verb][None, :]
+            np.save(out_dir / "seg_feats" / f"{vid_seg}.npy", seg)
+
+            anns.append(
+                {
+                    "ann_idx": ann_idx_global,
+                    "vid_seg": vid_seg,
+                    "tokens": tokens,
+                    "verb_idx": verb_idx,
+                    "verb_lemma": verb,
+                    "args": args,
+                }
+            )
+            ann_idx_global += 1
+        split_anns[split] = anns
+        with open(out_dir / f"anns_{split}.jsonl", "w") as f:
+            for a in anns:
+                f.write(json.dumps(a) + "\n")
+
+    h5f.close()
+    with open(out_dir / "vid_dims.json", "w") as f:
+        json.dump(vid_dims, f)
+
+    for split, anns in split_anns.items():
+        cs = build_cs_dict(anns)
+        with open(out_dir / f"cs_dict_{split}.json", "w") as f:
+            json.dump(cs, f)
+    return out_dir
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "tests/fixtures/mini_asrl"
+    np_props = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    generate_fixture(out, num_props=np_props)
+    print(f"wrote fixture to {out}")

@@ -1,0 +1,135 @@
+"""Batch iterators + ``get_data`` — reference ``dat_loader_simple.py
+§get_data`` returning ``DataWrap(train_dl, valid_dl, test_dl)`` and the
+``BatchCollator`` stacking per-sample dicts into fixed-shape batches.
+
+TPU-first notes: batches are always *static-shaped* (drop_last on train;
+eval pads the final short batch and carries a ``batch_mask``) so every step
+hits the same XLA executable.  A small background-thread prefetcher overlaps
+host assembly with device compute (the reference used DataLoader worker
+processes; our per-item cost is tiny because features are preloaded and
+concat assembly happens on device).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from vog_tpu.config import Cfg
+from vog_tpu.data.dataset import AnetSRLDataset, FeatureStore, get_vocab
+from vog_tpu.data.vocab import Vocab
+
+
+def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
+    """Stack per-sample dicts -> dict of (B, …) arrays (reference
+    ``BatchCollator``)."""
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class BatchIterator:
+    """Deterministic, epoch-seeded batch iterator over AnetSRLDataset."""
+
+    def __init__(
+        self,
+        dataset: AnetSRLDataset,
+        batch_size: int,
+        shuffle: bool,
+        drop_last: bool,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+
+    def _index_batches(self, epoch: int) -> List[np.ndarray]:
+        idxs = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed * 7_919 + epoch)
+            rng.shuffle(idxs)
+        nb = len(self)
+        return [idxs[i * self.bs : (i + 1) * self.bs] for i in range(nb)]
+
+    def _make_batch(self, batch_idxs: np.ndarray, rng) -> Dict[str, np.ndarray]:
+        samples = [self.ds.__getitem__(int(i), rng) for i in batch_idxs]
+        if len(samples) < self.bs:  # pad final eval batch to static shape
+            pad = [samples[-1]] * (self.bs - len(samples))
+            batch = collate(samples + pad)
+            bm = np.zeros((self.bs,), np.float32)
+            bm[: len(samples)] = 1.0
+        else:
+            batch = collate(samples)
+            bm = np.ones((self.bs,), np.float32)
+        batch["batch_mask"] = bm
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        epoch = self.epoch
+        self.epoch += 1
+        rng = np.random.default_rng(self.seed * 104_729 + epoch)
+        batches = self._index_batches(epoch)
+        if self.prefetch <= 0:
+            for b in batches:
+                yield self._make_batch(b, rng)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(self._make_batch(b, rng))
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+        t.join()
+
+
+@dataclass
+class DataWrap:
+    """Reference ``utils/trn_utils.py §DataWrap``."""
+
+    train_dl: BatchIterator
+    valid_dl: BatchIterator
+    test_dl: Optional[BatchIterator]
+    vocab: Vocab
+
+
+def get_data(cfg: Cfg, global_batch_size: Optional[int] = None) -> DataWrap:
+    """Build the three split iterators (reference ``get_data(cfg)``)."""
+    vocab = get_vocab(cfg)
+    store = FeatureStore(cfg.ds.data_dir)
+    bs = global_batch_size or cfg.train.bs
+
+    def mk(split: str, shuffle: bool, drop_last: bool) -> BatchIterator:
+        ds = AnetSRLDataset(cfg, split, vocab, store)
+        return BatchIterator(
+            ds, bs, shuffle=shuffle, drop_last=drop_last, seed=cfg.train.seed
+        )
+
+    return DataWrap(
+        train_dl=mk("train", True, True),
+        valid_dl=mk("valid", False, False),
+        test_dl=mk("test", False, False),
+        vocab=vocab,
+    )

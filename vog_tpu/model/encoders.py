@@ -1,0 +1,101 @@
+"""Language and visual encoders.
+
+Reference parity (SURVEY §2):
+  * Language encoder — ``code/mdl_srl_utils.py``: GloVe 300-d embedding ->
+    BiLSTM over the full query; per-SRL-arg phrase representation by
+    pooling hidden states over the arg's token span + a learned role-label
+    embedding; verb representation = hidden state at the verb token.
+  * Visual encoder — RoI fc6 2048-d + 5-d normalized box -> Linear ->
+    vis_dim; TSN segment feature (3072-d) -> Linear -> vis_dim, added to
+    every proposal of its frame.
+
+[C-MED] details reconstructed (to verify once the mount is live): span
+pooling = masked mean over span tokens; arg rep = Linear([span_pool ;
+role_emb]); fusion convention in the grounding head lives in
+``grounding.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vog_tpu.config import Cfg
+from vog_tpu.model.lstm import TorchBiLSTM
+
+
+def span_pool(hidden: jnp.ndarray, spans: jnp.ndarray, seq_len: jnp.ndarray) -> jnp.ndarray:
+    """Masked mean of hidden states over each arg's token span.
+
+    hidden (B,L,D); spans (B,A,2) inclusive; -> (B,A,D).  Empty/padded args
+    produce zeros (their mask handles downstream).
+    """
+    B, L, D = hidden.shape
+    t = jnp.arange(L, dtype=jnp.int32)[None, None, :]  # (1,1,L)
+    s, e = spans[..., 0:1], spans[..., 1:2]  # (B,A,1)
+    in_span = (t >= s) & (t <= e) & (t < seq_len[:, None, None])
+    w = in_span.astype(hidden.dtype)  # (B,A,L)
+    denom = jnp.maximum(w.sum(-1, keepdims=True), 1.0)
+    return jnp.einsum("bal,bld->bad", w / denom, hidden)
+
+
+class LangEncoder(nn.Module):
+    """GloVe embed -> BiLSTM -> per-arg span rep (+role emb), verb rep, q rep."""
+
+    cfg: Cfg
+    glove: np.ndarray  # (vocab, emb_dim) initial embedding table
+
+    @nn.compact
+    def __call__(self, tokens, seq_len, srl_spans, srl_roles, verb_idx) -> Dict:
+        m = self.cfg.mdl
+        emb_init = lambda *_: jnp.asarray(self.glove, jnp.float32)
+        emb_table = self.param("embed", emb_init, self.glove.shape)
+        if not m.train_embeddings:
+            emb_table = jax.lax.stop_gradient(emb_table)
+        x = emb_table[tokens]  # (B,L,emb)
+
+        y, (h_n, _) = TorchBiLSTM(hidden=m.lstm_dim, name="bilstm")(x, seq_len)
+        lang_dim = 2 * m.lstm_dim
+
+        arg_span = span_pool(y, srl_spans, seq_len)  # (B,A,2H)
+        role_emb = nn.Embed(
+            self.cfg.ds.num_roles, m.role_dim, name="role_embed"
+        )(srl_roles)  # (B,A,role_dim)
+        arg_rep = nn.Dense(m.vis_dim, name="arg_proj")(
+            jnp.concatenate([arg_span, role_emb], axis=-1)
+        )
+        arg_rep = nn.relu(arg_rep)
+
+        B, L, _ = y.shape
+        verb_rep = jnp.take_along_axis(
+            y, verb_idx[:, None, None].astype(jnp.int32).repeat(lang_dim, -1), axis=1
+        )[:, 0]  # (B,2H)
+        q_rep = nn.Dense(m.vis_dim, name="q_proj")(h_n)
+        return {"arg_rep": arg_rep, "verb_rep": verb_rep, "q_rep": q_rep, "hidden": y}
+
+
+class PropEncoder(nn.Module):
+    """RoI fc6 + 5-d box -> vis_dim (reference ``prop_encoder``)."""
+
+    cfg: Cfg
+
+    @nn.compact
+    def __call__(self, props: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.concatenate([props, boxes], axis=-1)
+        x = nn.Dense(self.cfg.mdl.vis_dim, name="prop_proj")(x)
+        return nn.relu(x)
+
+
+class SegEncoder(nn.Module):
+    """TSN segment feature -> vis_dim (reference ``seg_encoder``)."""
+
+    cfg: Cfg
+
+    @nn.compact
+    def __call__(self, seg: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.cfg.mdl.vis_dim, name="seg_proj")(seg)
+        return nn.relu(x)

@@ -1,0 +1,161 @@
+"""The model zoo: ImgGrnd, VidGrnd, VOGNet (+ selector).
+
+Reference parity (SURVEY §2):
+  * ImgGrnd — per-frame image-grounding baseline: language-conditioned
+    per-proposal scoring, fuse(vis_prop, lang_arg) -> MLP -> logit per
+    (arg, proposal); no cross-frame reasoning.
+  * VidGrnd — ImgGrnd + object transformer (multi-head self-attention over
+    all proposals across frames + temporal position encoding).
+  * VOGNet — VidGrnd + multimodal transformer: per-proposal visual feature
+    concatenated with the per-arg language feature, self-attention with
+    relative position encoding, head scores each (arg, proposal).
+    (``code/mdl_vog.py`` / ``code/mdl_conc*.py`` + ``transformer_code.py``
+    [C-MED file names].)
+
+All models consume the unified *clip view* produced by
+``vog_tpu.sampling.assemble_batch`` and emit logits (B', A, T); the
+conc-type-specific reshaping lives entirely in the sampling layer, so one
+forward path serves SVSQ/SEP/TEMP/SPAT (the reference spreads this over
+mdl_conc_single.py / mdl_conc.py wrappers).
+
+TPU-first notes: the (arg × proposal) fusion is expressed as three matmuls
+(W_v·vis + W_l·arg + W_x·(vis⊙arg)) so the MXU sees large batched GEMMs;
+the per-(arg,token) intermediate is rematerialized in the backward pass
+(nn.remat) to keep HBM pressure flat in the P100 regime (T = 4000).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from vog_tpu.config import Cfg
+from vog_tpu.model.encoders import LangEncoder, PropEncoder, SegEncoder
+from vog_tpu.model.loss import masked_bce_loss
+from vog_tpu.model.transformer import ObjectTransformer, RelTransformer
+
+
+class GroundingHead(nn.Module):
+    """fuse(vis, lang_arg) -> logit per (arg, token).
+
+    Reference: the ``do_cross``-style fusion + scoring MLP in the model
+    files (SURVEY §2 ImgGrnd row) [C-MED exact fusion].  Fusion used here:
+    h = relu(W_v vis + W_l arg + W_x (vis ⊙ arg)); logit = MLP(h).
+    """
+
+    cfg: Cfg
+
+    @nn.compact
+    def __call__(self, vis: jnp.ndarray, arg: jnp.ndarray) -> jnp.ndarray:
+        # vis (B,T,D); arg (B,A,D) -> logits (B,A,T)
+        D = self.cfg.mdl.vis_dim
+        wv = nn.Dense(D, name="fuse_vis")(vis)  # (B,T,D)
+        wl = nn.Dense(D, use_bias=False, name="fuse_lang")(arg)  # (B,A,D)
+        cross = jnp.einsum("btd,bad->batd", vis, arg)  # (B,A,T,D)
+        wx = nn.Dense(D, use_bias=False, name="fuse_cross")(cross)
+        h = nn.relu(wv[:, None] + wl[:, :, None] + wx)
+        h = nn.Dense(D // 2, name="head1")(h)
+        h = nn.relu(h)
+        return nn.Dense(1, name="head2")(h)[..., 0]
+
+
+class ImgGrnd(nn.Module):
+    """Per-proposal scoring with no cross-frame reasoning."""
+
+    cfg: Cfg
+    glove: np.ndarray
+    n_frames: int  # frames in the clip view (static)
+
+    def setup(self):
+        self.lang = LangEncoder(self.cfg, self.glove)
+        self.prop_enc = PropEncoder(self.cfg)
+        self.seg_enc = SegEncoder(self.cfg)
+        self.head = nn.remat(GroundingHead)(self.cfg)
+
+    def encode(self, clip: Dict, deterministic: bool):
+        lang = self.lang(
+            clip["tokens"],
+            clip["seq_len"],
+            clip["srl_spans"],
+            clip["srl_roles"],
+            clip["verb_idx"],
+        )
+        penc = self.prop_enc(clip["props"], clip["boxes"])  # (B,T,D)
+        senc = self.seg_enc(clip["seg"])  # (B,F,D)
+        seg_tok = senc[:, clip["frame_ids"]]  # (B,T,D)
+        return penc + seg_tok, lang
+
+    def __call__(self, clip: Dict, deterministic: bool = True) -> jnp.ndarray:
+        vis, lang = self.encode(clip, deterministic)
+        return self.head(vis, lang["arg_rep"])
+
+
+class VidGrnd(ImgGrnd):
+    """ImgGrnd + object transformer (temporal PE self-attention)."""
+
+    def setup(self):
+        super().setup()
+        self.obj_tx = ObjectTransformer(self.cfg)
+
+    def __call__(self, clip: Dict, deterministic: bool = True) -> jnp.ndarray:
+        vis, lang = self.encode(clip, deterministic)
+        vis = self.obj_tx(vis, clip["mask"], clip["frame_ids"], deterministic)
+        return self.head(vis, lang["arg_rep"])
+
+
+class VOGNet(ImgGrnd):
+    """VidGrnd + multimodal transformer with relative position encoding."""
+
+    def setup(self):
+        super().setup()
+        self.obj_tx = ObjectTransformer(self.cfg)
+        self.mm_tx = RelTransformer(self.cfg, self.n_frames)
+        self.mm_proj = nn.Dense(self.cfg.mdl.vis_dim)
+        self.mm_head = nn.Dense(1)
+
+    def __call__(self, clip: Dict, deterministic: bool = True) -> jnp.ndarray:
+        vis, lang = self.encode(clip, deterministic)
+        vis = self.obj_tx(vis, clip["mask"], clip["frame_ids"], deterministic)
+        arg = lang["arg_rep"]  # (B,A,D)
+        B, T, D = vis.shape
+        A = arg.shape[1]
+        # multimodal tokens: [vis ; arg_a] per (a, t); fold A into batch so
+        # the rel-transformer runs one big (B*A, T, D) self-attention
+        mm = self.mm_proj(
+            jnp.concatenate(
+                [
+                    jnp.broadcast_to(vis[:, None], (B, A, T, D)),
+                    jnp.broadcast_to(arg[:, :, None], (B, A, T, D)),
+                ],
+                axis=-1,
+            )
+        ).reshape(B * A, T, D)
+        key_mask = jnp.repeat(clip["mask"], A, axis=0)
+        mm = self.mm_tx(mm, key_mask, clip["frame_ids"], deterministic)
+        mm = mm.reshape(B, A, T, D)
+        # direct ImgGrnd-style path + multimodal head (residual scoring)
+        logits = self.head(vis, arg)
+        mm_logit = self.mm_head(nn.relu(mm))[..., 0]  # (B,A,T)
+        return logits + mm_logit
+
+
+MODELS = {"img_grnd": ImgGrnd, "vid_grnd": VidGrnd, "vog": VOGNet}
+
+
+def get_model(cfg: Cfg, glove: np.ndarray, n_frames: int):
+    """Reference ``code/mdl_selector.py §get_mdl_loss_eval`` (model part)."""
+    return MODELS[cfg.mdl.name](cfg=cfg, glove=glove, n_frames=n_frames)
+
+
+def compute_loss(logits: jnp.ndarray, clip: Dict) -> Tuple[jnp.ndarray, Dict]:
+    """Masked BCE vs IoU>=0.5 targets — reference LossB equivalents."""
+    mask = (
+        clip["srl_arg_mask"][:, :, None]
+        * clip["mask"][:, None, :]
+        * clip["batch_mask"][:, None, None]
+    )
+    loss = masked_bce_loss(logits, clip["targets"], mask)
+    return loss, {"loss": loss}

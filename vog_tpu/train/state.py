@@ -1,0 +1,134 @@
+"""TrainState construction + the jitted train/eval step functions.
+
+Reference parity: the inner loop of ``utils/trn_utils.py §Learner.fit``
+(forward, masked-BCE loss, backward, DDP all-reduce, Adam step) collapsed
+into one donated, pjit-compiled ``train_step``; gradient reduction over the
+'data' mesh axis is inserted by XLA (psum) instead of NCCL DDP hooks.
+
+TPU-first: the whole step (on-device conc assembly -> model -> loss ->
+grads -> Adam update) is a single XLA executable; buffers are donated so
+optimizer state updates in place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from vog_tpu.config import Cfg
+from vog_tpu.evaluation import evaluate_batch
+from vog_tpu.model import compute_loss, get_model
+from vog_tpu.sampling import assemble_batch, scores_to_canonical, view_dims
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def make_optimizer(cfg: Cfg) -> optax.GradientTransformation:
+    """Adam (reference opt_fn) + global-norm clipping."""
+    steps = [optax.clip_by_global_norm(cfg.train.grad_clip)]
+    if cfg.train.wd > 0:
+        steps.append(optax.adamw(cfg.train.lr, weight_decay=cfg.train.wd))
+    else:
+        steps.append(optax.adam(cfg.train.lr))
+    return optax.chain(*steps)
+
+
+def build_model(cfg: Cfg, glove: np.ndarray):
+    V, F, P = cfg.ds.num_cmp, cfg.ds.num_frms, cfg.ds.num_prop_per_frm
+    _, Fp, _ = view_dims(cfg.ds.conc_type, V, F, P)
+    return get_model(cfg, glove, n_frames=Fp)
+
+
+def example_batch(cfg: Cfg, batch_size: int, vocab_size: int = 64) -> Dict:
+    """A zeros batch with the canonical shapes (for init / compile checks)."""
+    ds = cfg.ds
+    V, F, P, A, L = ds.num_cmp, ds.num_frms, ds.num_prop_per_frm, ds.max_srl_args, ds.max_seq_len
+    B = batch_size
+    z = np.zeros
+    return {
+        "props": z((B, V, F, P, ds.prop_dim), np.float32),
+        "prop_boxes": z((B, V, F, P, 5), np.float32),
+        "prop_mask": np.ones((B, V, F, P), np.float32),
+        "seg_feats": z((B, V, F, ds.seg_dim), np.float32),
+        "tokens": np.ones((B, L), np.int32),
+        "seq_len": np.full((B,), 4, np.int32),
+        "verb_idx": np.ones((B,), np.int32),
+        "srl_roles": np.ones((B, A), np.int32),
+        "srl_spans": np.tile(np.array([[0, 1]], np.int32), (B, A, 1))[..., :2],
+        "srl_arg_mask": np.ones((B, A), np.float32),
+        "targets": z((B, V, A, F, P), np.float32),
+        "gt_boxes": z((B, A, F, 4), np.float32),
+        "gt_frame_mask": np.ones((B, A, F), np.float32),
+        "pos_vid": z((B,), np.int32),
+        "ann_idx": z((B,), np.int32),
+        "batch_mask": np.ones((B,), np.float32),
+    }
+
+
+def init_state(cfg: Cfg, glove: np.ndarray, rng: jax.Array, batch_size: int) -> TrainState:
+    model = build_model(cfg, glove)
+    batch = jax.tree.map(jnp.asarray, example_batch(cfg, batch_size))
+    clip = assemble_batch(batch, cfg.ds.conc_type)
+    variables = model.init({"params": rng, "dropout": rng}, clip, deterministic=True)
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=make_optimizer(cfg)
+    )
+
+
+def make_train_step(cfg: Cfg) -> Callable:
+    conc = cfg.ds.conc_type
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        clip = assemble_batch(batch, conc)
+
+        def loss_fn(params):
+            logits = state.apply_fn(
+                {"params": params},
+                clip,
+                deterministic=False,
+                rngs={"dropout": step_rng},
+            )
+            loss, aux = compute_loss(logits, clip)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return new_state, aux
+
+    return train_step
+
+
+def make_eval_step(cfg: Cfg) -> Callable:
+    conc = cfg.ds.conc_type
+
+    def eval_step(state: TrainState, batch: Dict):
+        clip = assemble_batch(batch, conc)
+        logits = state.apply_fn({"params": state.params}, clip, deterministic=True)
+        loss, _ = compute_loss(logits, clip)
+        B, V, F, P = batch["prop_mask"].shape
+        scores = scores_to_canonical(logits, conc, B, V, F, P)
+        out = evaluate_batch(
+            scores,
+            batch["prop_boxes"],
+            batch["gt_boxes"],
+            batch["gt_frame_mask"],
+            batch["srl_arg_mask"],
+            batch["pos_vid"],
+            batch["batch_mask"],
+        )
+        nb = jnp.maximum(batch["batch_mask"].sum(), 1.0)
+        out["loss_sum"] = loss * nb  # batch-mean loss weighted for aggregation
+        out["n_batch"] = nb
+        return out
+
+    return eval_step
