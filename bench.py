@@ -1,0 +1,76 @@
+"""Headline benchmark: VOGNet SPAT GT5 training-step throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "query_clip_pairs_per_sec_per_chip",
+   "vs_baseline": N}
+
+Metric definition (BASELINE.md): a "query-clip pair" is one (query, video)
+scoring; SVSQ = 1 pair/sample, SEP/TEMP/SPAT = 4 pairs/sample (the 4-video
+contrastive group).  The measured number is full *training* throughput
+(on-device SPAT assembly + VOGNet fwd/bwd + Adam) on one chip.
+
+Baseline denominator: the reference repo publishes no throughput and its
+torch/GPU environment is unavailable here (SURVEY §6).  REF_PAIRS_PER_SEC
+is the provisional estimate documented in BASELINE.md §3 (reference DDP
+training at paper-era single-GPU speed, ~2 it/s at batch 16 SPAT groups =
+16·4·2 = 128 pairs/s); it must be replaced by a measured reference number
+when the mount is populated.  The ≥10x north-star target therefore means
+vs_baseline >= 10.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+REF_PAIRS_PER_SEC = 128.0  # provisional — see module docstring / BASELINE.md
+
+BATCH = 16
+WARMUP = 3
+STEPS = 20
+
+
+def main() -> None:
+    from __graft_entry__ import _cfg, _glove, _random_batch
+    from vog_tpu.train.dist import make_mesh, shard_batch
+    from vog_tpu.train.state import init_state, make_train_step
+
+    cfg = _cfg(tiny=False)
+    cfg.misc.mesh_data = 1  # single-chip benchmark (pairs/sec/chip)
+    cfg.misc.mesh_model = 1
+    mesh = make_mesh(cfg)
+
+    state = init_state(cfg, _glove(cfg), jax.random.PRNGKey(0), BATCH)
+    train_step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    rng = jax.random.PRNGKey(1)
+
+    batch = shard_batch(_random_batch(cfg, BATCH, seed=1), mesh)
+    for _ in range(WARMUP):
+        state, aux = train_step(state, batch, rng)
+    jax.block_until_ready(aux["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, aux = train_step(state, batch, rng)
+    jax.block_until_ready(aux["loss"])
+    dt = time.perf_counter() - t0
+
+    pairs = STEPS * BATCH * cfg.ds.num_cmp
+    pps = pairs / dt
+    print(
+        json.dumps(
+            {
+                "metric": "vognet_spat_gt5_train_throughput",
+                "value": round(pps, 2),
+                "unit": "query_clip_pairs_per_sec_per_chip",
+                "vs_baseline": round(pps / REF_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""End-to-end smoke: short train on the fixture must learn (SURVEY §4 item 5),
+checkpoints must round-trip, artifacts must land in the reference layout."""
+
+import json
+import pickle
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from tests.conftest import small_cfg
+from vog_tpu.data import get_data
+from vog_tpu.train import Learner, make_mesh
+
+
+def _learner(fixture_dir, tmp_path, uid, **over):
+    over.setdefault("mdl.name", "img_grnd")
+    over.setdefault("ds.conc_type", "svsq")
+    over.setdefault("train.lr", 3e-3)
+    over.setdefault("train.bs", 4)
+    over.setdefault("misc.mesh_data", 1)
+    over.setdefault("train.log_every", 1000)
+    cfg = small_cfg(fixture_dir, **over)
+    cfg.misc.tmp_path = str(tmp_path / "tmp")
+    mesh = make_mesh(cfg)
+    data = get_data(cfg, global_batch_size=cfg.train.bs * mesh.shape["data"])
+    return Learner(uid, data, cfg, mesh=mesh), data, cfg
+
+
+def test_train_learns_and_writes_artifacts(fixture_dir, tmp_path):
+    lrn, data, cfg = _learner(fixture_dir, tmp_path, "smoke", **{"train.epochs": 30})
+    m = lrn.fit()
+    # metric dict schema (reference eval_fn metric names)
+    for k in ("acc", "vacc", "strict_acc", "cons", "val_loss"):
+        assert k in m, k
+    # learning happened: train-split accuracy far above the 1/P chance level
+    tm = lrn._run_eval(data.train_dl, "train")
+    assert tm["acc"] > 0.7, tm
+    assert m["acc"] > 0.3, m
+
+    # artifact layout: tmp/{txt_logs,models,predictions,ext_logs}/uid…
+    tmp = Path(cfg.misc.tmp_path)
+    assert (tmp / "txt_logs" / "smoke.txt").exists()
+    assert (tmp / "ext_logs" / "smoke.jsonl").exists()
+    preds = sorted((tmp / "predictions").glob("smoke_valid_*.pkl"))
+    assert preds
+    with open(preds[-1], "rb") as f:
+        p = pickle.load(f)
+    assert len(p) == len(data.valid_dl.ds)
+    assert {"ann_idx", "pred_vid", "pred_prop", "iou"} <= set(p[0])
+    # json log lines parse and carry metrics
+    lines = (tmp / "ext_logs" / "smoke.jsonl").read_text().strip().split("\n")
+    rec = json.loads(lines[-1])
+    assert "acc" in rec and "epoch" in rec
+
+
+def test_checkpoint_roundtrip_and_resume(fixture_dir, tmp_path):
+    lrn, data, cfg = _learner(fixture_dir, tmp_path, "ck", **{"train.epochs": 2})
+    lrn.fit()
+    step0 = int(lrn.state.step)
+    params0 = jax.tree.map(np.asarray, lrn.state.params)
+
+    lrn2, _, _ = _learner(fixture_dir, tmp_path, "ck", **{"train.epochs": 2})
+    lrn2.load()
+    assert int(lrn2.state.step) == step0
+    params1 = jax.tree.map(np.asarray, lrn2.state.params)
+    jax.tree.map(np.testing.assert_array_equal, params0, params1)
+    assert lrn2.epoch == lrn.epoch
+
+    # validate-only path reproduces metrics from the restored state
+    m1 = lrn.validate()
+    m2 = lrn2.validate()
+    assert abs(m1["acc"] - m2["acc"]) < 1e-9
+
+
+def test_best_checkpoint_tracked(fixture_dir, tmp_path):
+    lrn, _, cfg = _learner(fixture_dir, tmp_path, "best", **{"train.epochs": 3})
+    lrn.fit()
+    assert (Path(cfg.misc.tmp_path) / "models" / "best" / "best").exists()
+    assert lrn.best_metric > 0

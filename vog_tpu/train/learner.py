@@ -176,11 +176,11 @@ class Learner:
             )
             self.log(f"ep {self.epoch} metrics {metrics}")
             self.log_json(metrics)
+            self.epoch += 1  # ckpt meta records the next epoch to run
             self.save("last")
             if metrics["acc"] > self.best_metric:
                 self.best_metric = metrics["acc"]
                 self.save("best")
-            self.epoch += 1
         return metrics
 
     # -- eval ----------------------------------------------------------------
