@@ -38,9 +38,12 @@ def main() -> None:
     from vog_tpu.train.dist import make_mesh, shard_batch
     from vog_tpu.train.state import init_state, make_train_step
 
+    from vog_tpu.config import apply_matmul_precision
+
     cfg = _cfg(tiny=False)
     cfg.misc.mesh_data = 1  # single-chip benchmark (pairs/sec/chip)
     cfg.misc.mesh_model = 1
+    apply_matmul_precision(cfg)
     mesh = make_mesh(cfg)
 
     state = init_state(cfg, _glove(cfg), jax.random.PRNGKey(0), BATCH)

@@ -18,7 +18,12 @@ from __future__ import annotations
 import sys
 from typing import Dict
 
-from vog_tpu.config import get_default_cfg, post_proc_config, update_from_dict
+from vog_tpu.config import (
+    apply_matmul_precision,
+    get_default_cfg,
+    post_proc_config,
+    update_from_dict,
+)
 from vog_tpu.data import get_data
 from vog_tpu.train import Learner, make_mesh
 
@@ -45,6 +50,7 @@ def main(argv=None) -> Dict:
     cfg = get_default_cfg(yml)
     update_from_dict(cfg, overrides)
     post_proc_config(cfg)
+    apply_matmul_precision(cfg)
 
     mesh = make_mesh(cfg)
     data = get_data(cfg, global_batch_size=cfg.train.bs * mesh.shape["data"])

@@ -4,12 +4,14 @@ from vog_tpu.config.defaults import (
     MdlCfg,
     MiscCfg,
     TrainCfg,
+    apply_matmul_precision,
     get_default_cfg,
     post_proc_config,
     update_from_dict,
 )
 
 __all__ = [
+    "apply_matmul_precision",
     "Cfg",
     "DsCfg",
     "MdlCfg",

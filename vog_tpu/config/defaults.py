@@ -86,6 +86,16 @@ class MiscCfg:
     mesh_data: int = -1  # -1 = all devices on data axis
     mesh_model: int = 1
     half_feats: bool = False  # store features bf16 in HBM (compute stays fp32)
+    # fp32 parity with the reference needs full-precision MXU matmuls
+    # ("highest" = 3-pass bf16 fp32 emulation); "default" trades parity for
+    # ~3x matmul speed
+    matmul_precision: str = "highest"
+
+
+def apply_matmul_precision(cfg: "Cfg") -> None:
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", cfg.misc.matmul_precision)
 
 
 @dataclass

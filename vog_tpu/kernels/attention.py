@@ -1,18 +1,353 @@
-"""Fused attention kernel dispatch (placeholder — Pallas kernel lands in the
-kernel milestone; this module keeps the interface stable).
+"""Fused Pallas TPU attention with factored relative-frame bias.
 
-Target design (SURVEY §7 hard part #2): flash-style blocked attention with
-the factored relative-frame bias (H,F,F) expanded to token blocks inside
-the kernel via two small one-hot matmuls, so the (T,T) score matrix never
-leaves VMEM.  Until then this delegates to the XLA path, which XLA already
-fuses acceptably at GT5 scale.
+The hottest op in the framework (SURVEY §3.1 "hottest"): VidGrnd's object
+transformer and VOGNet's relative-position multimodal transformer
+(reference ``code/transformer_code.py``), at up to T = 4000 proposal tokens
+in the P100 SPAT regime (SURVEY §5 long-context row).
+
+Design (SURVEY §7 hard part #2):
+  * Flash-style: the (T, T) score matrix lives only in VMEM, one q-block
+    at a time; softmax is computed in-block (the whole key dimension fits
+    VMEM at T<=4096, so no online rescaling pass is needed).
+  * Relative-position bias is *factored through frames*: the learned table
+    gives a per-head (F, F) frame-pair bias; inside the kernel it is
+    expanded to the (bq, T) token block by two small one-hot matmuls
+    (bq,F)·(F,F)·(F,T) instead of a (T, T) gather — MXU work, no
+    scatter/gather.
+  * Backward is two Pallas kernels (dq + frame-bias grad; dk/dv) that
+    recompute the probabilities from the forward logsumexp — no (T, T)
+    residuals in HBM.
+  * Padding: T is padded to the 128-token block, head dim to the 128-lane
+    tile; masked lanes use a finite -1e30 so fully-masked rows stay NaN
+    free.
+
+The XLA fallback (``model/transformer.py §xla_attention``) computes the
+same math; ``tests/test_attention.py`` checks fwd+bwd parity in interpret
+mode.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+import functools
+from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+LANE = 128
+
+
+def _block_size(T: int) -> int:
+    """Tile edge: bigger tiles amortize per-program overhead on long
+    sequences; 128 keeps padding waste low on short ones."""
+    return 512 if T > 1024 else 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, fb_ref, fid_ref, o_ref, lse_ref, *, scale, n_frames, bq):
+    qi = pl.program_id(1)
+    qb = q_ref[0]  # (bq, dh)
+    kb = k_ref[0]  # (T, dh)
+    s = jax.lax.dot_general(
+        qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale  # (bq, T)
+
+    F = n_frames
+    fids = fid_ref[:, 0]  # (T,)
+    f_range = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
+    fq = fid_ref[pl.ds(qi * bq, bq), 0]
+    oq = (fq[:, None] == f_range).astype(jnp.float32)
+    ok = (fids[:, None] == f_range).astype(jnp.float32)  # (T, F)
+    bias = jax.lax.dot_general(
+        jnp.dot(oq, fb_ref[0], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST),
+        ok,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (bq, T)
+
+    mask = mask_ref[0, 0]  # (T,)
+    s = jnp.where(mask[None, :] > 0, s + bias, NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(
+        p / denom,
+        v_ref[0],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    lse_ref[0] = m + jnp.log(denom)  # (bq, 1)
+
+
+# --------------------------------------------------------------------------
+# backward kernels
+# --------------------------------------------------------------------------
+def _dot(a, b, contract=((1,), (1,))):
+    return jax.lax.dot_general(
+        a,
+        b,
+        (contract, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _block_tile(fid_ref, mask_ref, fb_ref, qi, ki, scale, n_frames, bq, bk,
+                q_blk, k_blk, lse_blk, do_blk, v_blk, delta_blk):
+    """Shared recompute of the (bq, bk) probability tile + dS tile."""
+    F = n_frames
+    f_range = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
+    fq = fid_ref[pl.ds(qi * bq, bq), 0]
+    fk = fid_ref[pl.ds(ki * bk, bk), 0]
+    oq = (fq[:, None] == f_range).astype(jnp.float32)  # (bq, F)
+    okb = (fk[:, None] == f_range).astype(jnp.float32)  # (bk, F)
+    bias = _dot(jnp.dot(oq, fb_ref[0], preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST), okb)  # (bq, bk)
+
+    s = _dot(q_blk, k_blk) * scale  # (bq, bk)
+    mask_k = mask_ref[0, 0, pl.ds(ki * bk, bk)]  # (bk,)
+    s = jnp.where(mask_k[None, :] > 0, s + bias, NEG)
+    p = jnp.exp(s - lse_blk)  # (bq, bk)
+    dp = _dot(do_blk, v_blk)  # (bq, bk)
+    ds = p * (dp - delta_blk)
+    ds_m = jnp.where(mask_k[None, :] > 0, ds, 0.0)
+    return p, ds, ds_m, oq, okb
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, mask_ref, fb_ref, fid_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dfb_ref, *, scale, n_frames, bq, bk
+):
+    # grid (BH, nq, nk); j = innermost; dq accumulates over j, dfb over all
+    qi = pl.program_id(1)
+    j = pl.program_id(2)
+    p, ds, ds_m, oq, okb = _block_tile(
+        fid_ref, mask_ref, fb_ref, qi, j, scale, n_frames, bq, bk,
+        q_ref[0], k_ref[0], lse_ref[0], do_ref[0], v_ref[0], delta_ref[0],
+    )
+
+    @pl.when(j == 0)
+    def _():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    dq_ref[0] += _dot(ds, k_ref[0], contract=((1,), (0,))) * scale
+
+    @pl.when((qi == 0) & (j == 0))
+    def _():
+        dfb_ref[0] = jnp.zeros_like(dfb_ref[0])
+
+    dfb_ref[0] += jnp.dot(
+        _dot(oq, ds_m, contract=((0,), (0,))),  # (F, bk)
+        okb,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (F, F)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, mask_ref, fb_ref, fid_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, *, scale, n_frames, bq, bk
+):
+    # grid (BH, nk, nq); i = innermost; dk/dv accumulate over i
+    ki = pl.program_id(1)
+    i = pl.program_id(2)
+    p, ds, ds_m, _, _ = _block_tile(
+        fid_ref, mask_ref, fb_ref, i, ki, scale, n_frames, bq, bk,
+        q_ref[0], k_ref[0], lse_ref[0], do_ref[0], v_ref[0], delta_ref[0],
+    )
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dv_ref[0] += _dot(p, do_ref[0], contract=((0,), (0,)))  # (bk, dh)
+    dk_ref[0] += _dot(ds, q_ref[0], contract=((0,), (0,))) * scale  # (bk, dh)
+
+
+# --------------------------------------------------------------------------
+# host-side padding + pallas_call plumbing
+# --------------------------------------------------------------------------
+def _pad_inputs(q, k, v, key_mask, frame_bias, frame_ids):
+    B, H, T, dh = q.shape
+    if frame_bias is None:
+        frame_bias = jnp.zeros((H, 1, 1), jnp.float32)
+        frame_ids = jnp.zeros((T,), jnp.int32)
+    Fn = frame_bias.shape[-1]
+    blk = _block_size(T)
+    Tp = _round_up(T, blk)
+    dp = _round_up(dh, LANE)
+
+    def pad(x, t_axis, d_axis=None):
+        cfg = [(0, 0)] * x.ndim
+        cfg[t_axis] = (0, Tp - T)
+        if d_axis is not None:
+            cfg[d_axis] = (0, dp - dh)
+        return jnp.pad(x, cfg)
+
+    qf = pad(q, 2, 3).reshape(B * H, Tp, dp)
+    kf = pad(k, 2, 3).reshape(B * H, Tp, dp)
+    vf = pad(v, 2, 3).reshape(B * H, Tp, dp)
+    mk = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, Tp - T)))[:, None, :]
+    fid = jnp.pad(frame_ids.astype(jnp.int32), (0, Tp - T))[:, None]  # (Tp,1)
+    return qf, kf, vf, mk, frame_bias.astype(jnp.float32), fid, (B, H, T, dh, Tp, dp, Fn)
+
+
+def _fwd_call(qf, kf, vf, mk, fb, fid, dims, interpret):
+    B, H, T, dh, Tp, dp, Fn = dims
+    BH = B * H
+    scale = 1.0 / (dh**0.5)
+    # fwd keeps the full key dim in VMEM, so the q block stays small
+    blk = 128
+    grid = (BH, Tp // blk)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, n_frames=Fn, bq=blk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tp), lambda b, i: (b // H, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fn, Fn), lambda b, i: (b % H, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Tp, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, mk, fb, fid)
+    return out, lse
+
+
+def _flash_impl(q, k, v, key_mask, frame_bias, frame_ids, interpret):
+    qf, kf, vf, mk, fb, fid, dims = _pad_inputs(q, k, v, key_mask, frame_bias, frame_ids)
+    B, H, T, dh, Tp, dp, Fn = dims
+    out, lse = _fwd_call(qf, kf, vf, mk, fb, fid, dims, interpret)
+    o = out.reshape(B, H, Tp, dp)[:, :, :T, :dh]
+    return o, (qf, kf, vf, mk, fb, fid, out, lse, dims)
+
+
+# key_mask and frame_ids are data (can be tracers) so they must be regular
+# diff args with zero cotangents; frame_ids travels as float32 to avoid
+# float0 int-cotangent plumbing.  Only `interpret` (a static bool) is a
+# nondiff argnum.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _flash(q, k, v, key_mask, frame_bias, frame_ids_f, interpret):
+    o, _ = _flash_impl(
+        q, k, v, key_mask, frame_bias, frame_ids_f.astype(jnp.int32), interpret
+    )
+    return o
+
+
+def _flash_fwd(q, k, v, key_mask, frame_bias, frame_ids_f, interpret):
+    o, res = _flash_impl(
+        q, k, v, key_mask, frame_bias, frame_ids_f.astype(jnp.int32), interpret
+    )
+    return o, res + (key_mask, frame_ids_f)
+
+
+def _flash_bwd(interpret, res, g):
+    *res, key_mask_in, frame_ids_f = res
+    res = tuple(res)
+    qf, kf, vf, mk, fb, fid, out, lse, dims = res
+    B, H, T, dh, Tp, dp, Fn = dims
+    BH = B * H
+    scale = 1.0 / (dh**0.5)
+
+    do = jnp.pad(
+        g.astype(jnp.float32), ((0, 0), (0, 0), (0, Tp - T), (0, dp - dh))
+    ).reshape(BH, Tp, dp)
+    delta = jnp.sum(do * out, axis=-1, keepdims=True)  # (BH, Tp, 1)
+
+    blk = _block_size(T)
+    nq = nk = Tp // blk
+    fullm3 = lambda b, i, j: (b // H, 0, 0)
+    fullb = lambda b, i, j: (b % H, 0, 0)
+    fullfid = lambda b, i, j: (0, 0)
+
+    # grid (BH, nq, nk): j innermost; dq accumulates over j, dfb over all
+    dq, dfb_per = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, n_frames=Fn, bq=blk, bk=blk),
+        grid=(BH, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tp), fullm3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fn, Fn), fullb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, 1), fullfid, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fn, Fn), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Fn, Fn), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, mk, fb, fid, do, lse, delta)
+
+    # grid (BH, nk, nq): i innermost; dk/dv accumulate over i
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, n_frames=Fn, bq=blk, bk=blk),
+        grid=(BH, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tp), fullm3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fn, Fn), fullb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, 1), fullfid, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, mk, fb, fid, do, lse, delta)
+
+    def unpad(x):
+        return x.reshape(B, H, Tp, dp)[:, :, :T, :dh]
+
+    dfb = dfb_per.reshape(B, H, Fn, Fn).sum(axis=0)  # (H,F,F)
+    return (
+        unpad(dq),
+        unpad(dk),
+        unpad(dv),
+        jnp.zeros_like(key_mask_in),
+        dfb,
+        jnp.zeros_like(frame_ids_f),
+    )
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(
@@ -22,7 +357,24 @@ def flash_attention(
     key_mask: jnp.ndarray,
     frame_bias: Optional[jnp.ndarray] = None,
     frame_ids: Optional[jnp.ndarray] = None,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    from vog_tpu.model.transformer import xla_attention
-
-    return xla_attention(q, k, v, key_mask, frame_bias, frame_ids)
+    """Fused attention.  q,k,v (B,H,T,dh); key_mask (B,T);
+    frame_bias (H,F,F) or None; frame_ids (T,) token->frame map."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, T = q.shape[1], q.shape[2]
+    if frame_bias is None:
+        # constant-zero bias through the same code path; its grad is
+        # discarded because the zeros constant has no upstream users
+        frame_bias = jnp.zeros((H, 1, 1), jnp.float32)
+        frame_ids = jnp.zeros((T,), jnp.int32)
+    return _flash(
+        q,
+        k,
+        v,
+        key_mask.astype(jnp.float32),
+        frame_bias,
+        jnp.asarray(frame_ids).astype(jnp.float32),
+        interpret,
+    )
