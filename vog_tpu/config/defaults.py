@@ -90,6 +90,9 @@ class MiscCfg:
     # ("highest" = 3-pass bf16 fp32 emulation); "default" trades parity for
     # ~3x matmul speed
     matmul_precision: str = "highest"
+    profile_dir: str = ""  # non-empty: jax.profiler trace of train steps
+    profile_steps: int = 5  # steps to capture per epoch when profiling
+    check_nans: bool = True  # raise on non-finite loss at log points
 
 
 def apply_matmul_precision(cfg: "Cfg") -> None:

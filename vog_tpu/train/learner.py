@@ -155,17 +155,34 @@ class Learner:
         for _ in range(epochs):
             t0 = time.time()
             n_seen = 0
+            profiling = False
             for i, batch in enumerate(self.data.train_dl):
+                if cfg.misc.profile_dir and i == 1:  # skip compile step
+                    jax.profiler.start_trace(cfg.misc.profile_dir)
+                    profiling = True
                 batch = shard_batch(batch, self.mesh)
-                self.state, aux = self._train_step(self.state, batch, self.rng)
+                with jax.profiler.StepTraceAnnotation("train", step_num=i):
+                    self.state, aux = self._train_step(self.state, batch, self.rng)
+                if profiling and i >= cfg.misc.profile_steps:
+                    jax.block_until_ready(aux["loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.log(f"profiler trace written to {cfg.misc.profile_dir}")
                 n_seen += self.global_bs
                 if (i + 1) % cfg.train.log_every == 0 or i == 0:
                     loss = float(aux["loss"])
+                    if cfg.misc.check_nans and not np.isfinite(loss):
+                        raise FloatingPointError(
+                            f"non-finite loss {loss} at ep {self.epoch} it {i} "
+                            f"(grad_norm={float(aux['grad_norm'])})"
+                        )
                     smooth.add_value(loss)
                     self.log(
                         f"ep {self.epoch} it {i} loss {loss:.4f} "
                         f"smooth {smooth.smooth:.4f}"
                     )
+            if profiling:
+                jax.profiler.stop_trace()
             dt = time.time() - t0
             pairs = n_seen * self.cfg.ds.num_cmp
             metrics = self.validate()
