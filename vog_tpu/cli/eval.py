@@ -1,0 +1,48 @@
+"""Eval-only entry point (reference ``--only_val`` path of main_dist.py).
+
+  python -m vog_tpu.cli.eval <uid> [--split=valid|test] [overrides...]
+
+Loads the uid's last checkpoint when present, scores the split, writes the
+predictions pickle, prints the metric dict.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from vog_tpu.cli.train import parse_argv
+from vog_tpu.config import (
+    apply_matmul_precision,
+    get_default_cfg,
+    post_proc_config,
+    update_from_dict,
+)
+from vog_tpu.data import get_data
+from vog_tpu.train import Learner, make_mesh
+
+
+def main(argv=None):
+    uid, overrides, flags = parse_argv(argv if argv is not None else sys.argv[1:])
+    split = overrides.pop("split", "valid")
+    yml = overrides.pop("cfg", None)
+    cfg = get_default_cfg(yml)
+    update_from_dict(cfg, overrides)
+    post_proc_config(cfg)
+    apply_matmul_precision(cfg)
+
+    mesh = make_mesh(cfg)
+    data = get_data(cfg, global_batch_size=cfg.train.bs * mesh.shape["data"])
+    learner = Learner(uid, data, cfg, mesh=mesh)
+    ckpt = Path(cfg.misc.tmp_path) / "models" / uid / "last"
+    if ckpt.exists():
+        learner.load()
+    else:
+        learner.log(f"no checkpoint at {ckpt}; evaluating fresh init")
+    m = learner.testing() if split == "test" else learner.validate()
+    learner.log(f"{split} metrics: {m}")
+    return m
+
+
+if __name__ == "__main__":
+    main()
