@@ -85,7 +85,8 @@ class PropEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, props: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
-        x = jnp.concatenate([props, boxes], axis=-1)
+        # features may arrive bf16 (misc.half_feats); weight math is fp32
+        x = jnp.concatenate([props.astype(jnp.float32), boxes], axis=-1)
         x = nn.Dense(self.cfg.mdl.vis_dim, name="prop_proj")(x)
         return nn.relu(x)
 
@@ -97,5 +98,5 @@ class SegEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, seg: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.cfg.mdl.vis_dim, name="seg_proj")(seg)
+        x = nn.Dense(self.cfg.mdl.vis_dim, name="seg_proj")(seg.astype(jnp.float32))
         return nn.relu(x)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -78,7 +79,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict:
-    """Host batch -> device arrays sharded over the data axis."""
+HALF_KEYS = ("props", "seg_feats")  # bulky features; boxes/targets stay f32
+
+
+def shard_batch(
+    batch: Dict[str, np.ndarray], mesh: Mesh, half_feats: bool = False
+) -> Dict:
+    """Host batch -> device arrays sharded over the data axis.
+
+    half_feats stores the RoI/segment features as bfloat16 in HBM (halves
+    the input-transfer + HBM footprint of the P100 regime); encoders cast
+    back to fp32 so weight math stays full precision (opt-in, off for
+    strict parity runs).
+    """
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    out = {}
+    for k, v in batch.items():
+        if half_feats and k in HALF_KEYS:
+            v = v.astype(jnp.bfloat16)
+        out[k] = jax.device_put(v, sh)
+    return out

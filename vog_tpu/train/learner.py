@@ -160,7 +160,7 @@ class Learner:
                 if cfg.misc.profile_dir and i == 1:  # skip compile step
                     jax.profiler.start_trace(cfg.misc.profile_dir)
                     profiling = True
-                batch = shard_batch(batch, self.mesh)
+                batch = shard_batch(batch, self.mesh, cfg.misc.half_feats)
                 with jax.profiler.StepTraceAnnotation("train", step_num=i):
                     self.state, aux = self._train_step(self.state, batch, self.rng)
                 if profiling and i >= cfg.misc.profile_steps:
@@ -169,6 +169,11 @@ class Learner:
                     profiling = False
                     self.log(f"profiler trace written to {cfg.misc.profile_dir}")
                 n_seen += self.global_bs
+                if (
+                    cfg.train.ckpt_every_steps
+                    and int(self.state.step) % cfg.train.ckpt_every_steps == 0
+                ):
+                    self.save("last")
                 if (i + 1) % cfg.train.log_every == 0 or i == 0:
                     loss = float(aux["loss"])
                     if cfg.misc.check_nans and not np.isfinite(loss):
@@ -212,7 +217,7 @@ class Learner:
                 break
             ann_idx = np.asarray(batch["ann_idx"])
             bm = np.asarray(batch["batch_mask"])
-            sb = shard_batch(batch, self.mesh)
+            sb = shard_batch(batch, self.mesh, self.cfg.misc.half_feats)
             out = self._eval_step(self.state, sb)
             for k in list(sums.keys()):
                 sums[k] += float(out[k])

@@ -77,7 +77,14 @@ def init_state(cfg: Cfg, glove: np.ndarray, rng: jax.Array, batch_size: int) -> 
     model = build_model(cfg, glove)
     batch = jax.tree.map(jnp.asarray, example_batch(cfg, batch_size))
     clip = assemble_batch(batch, cfg.ds.conc_type)
-    variables = model.init({"params": rng, "dropout": rng}, clip, deterministic=True)
+
+    # jit the init: eager init dispatches thousands of tiny ops (glacial
+    # through the remote-TPU tunnel); one compiled program instead
+    @jax.jit
+    def _init(rng):
+        return model.init({"params": rng, "dropout": rng}, clip, deterministic=True)
+
+    variables = _init(rng)
     return TrainState.create(
         apply_fn=model.apply, params=variables["params"], tx=make_optimizer(cfg)
     )
