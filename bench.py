@@ -29,8 +29,8 @@ import numpy as np
 REF_PAIRS_PER_SEC = 128.0  # provisional — see module docstring / BASELINE.md
 
 BATCH = 16
-WARMUP = 3
-STEPS = 20
+WARMUP = 5
+STEPS = 50
 
 
 def main() -> None:
@@ -51,14 +51,19 @@ def main() -> None:
     rng = jax.random.PRNGKey(1)
 
     batch = shard_batch(_random_batch(cfg, BATCH, seed=1), mesh)
+    # Sync discipline for the remote-TPU (axon) tunnel: block_until_ready
+    # is NOT a real barrier there — only a value fetch (float()) guarantees
+    # the chain of steps has executed.  Warm up until per-burst time
+    # stabilizes (first executions carry a one-time executable/weights
+    # upload), then time N chained steps closed by a single scalar fetch.
     for _ in range(WARMUP):
         state, aux = train_step(state, batch, rng)
-    jax.block_until_ready(aux["loss"])
+        float(aux["loss"])
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, aux = train_step(state, batch, rng)
-    jax.block_until_ready(aux["loss"])
+    float(aux["loss"])  # single fetch closes the dependency chain
     dt = time.perf_counter() - t0
 
     pairs = STEPS * BATCH * cfg.ds.num_cmp
