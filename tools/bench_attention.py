@@ -8,8 +8,11 @@ previous output) and the loop is closed by a scalar fetch — see bench.py.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -117,8 +117,16 @@ class DataWrap:
 
 def get_data(cfg: Cfg, global_batch_size: Optional[int] = None) -> DataWrap:
     """Build the three split iterators (reference ``get_data(cfg)``)."""
+    from pathlib import Path
+
     vocab = get_vocab(cfg)
-    store = FeatureStore(cfg.ds.data_dir)
+    if (Path(cfg.ds.data_dir) / "featpack.bin").exists():
+        # packed mmap store + C++ threaded gather (vog_tpu/data/featpack.py)
+        from vog_tpu.data.featpack import PackedFeatureStore
+
+        store = PackedFeatureStore(cfg.ds.data_dir)
+    else:
+        store = FeatureStore(cfg.ds.data_dir)
     bs = global_batch_size or cfg.train.bs
 
     def mk(split: str, shuffle: bool, drop_last: bool) -> BatchIterator:
