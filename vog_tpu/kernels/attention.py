@@ -40,6 +40,16 @@ NEG = -1e30
 LANE = 128
 
 
+def _precision():
+    """Kernel matmul precision follows jax_default_matmul_precision so the
+    Pallas path and the XLA path stay comparable (the parity default is
+    'highest'; 'default' trades fp32 exactness for ~4x MXU speed)."""
+    cfg = jax.config.jax_default_matmul_precision
+    if cfg in ("highest", "float32"):
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
 def _block_size(T: int) -> int:
     """Tile edge: bigger tiles amortize per-program overhead on long
     sequences; 128 keeps padding waste low on short ones."""
@@ -53,28 +63,47 @@ def _round_up(x: int, m: int) -> int:
 # --------------------------------------------------------------------------
 # forward kernel
 # --------------------------------------------------------------------------
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, fb_ref, fid_ref, o_ref, lse_ref, *, scale, n_frames, bq):
+def _bias_block(fbc_ref, fid_ref, qi, bq, k_lo, bk, n_frames):
+    """(bq, bk) relative-frame bias tile from the precomputed per-column
+    bias fbc (F, Tp).
+
+    Fast path: when the whole q block lies in ONE frame (true for 3/4 of
+    blocks in the P100-SPAT layout where a frame spans 400 tokens), the
+    tile is a single dynamically-indexed row of fbc broadcast over rows —
+    no matmul.  Mixed blocks fall back to a one-hot (bq,F)@(F,bk) matmul.
+    """
+    fq = fid_ref[pl.ds(qi * bq, bq), 0]  # (bq,)
+    pure = fq[0] == fq[bq - 1]  # frame ids are monotone
+
+    def pure_fn(_):
+        # ref slice with a traced row start (supported), not an array
+        # dynamic_slice (unimplemented in the TPU lowering)
+        row = fbc_ref[0, pl.ds(fq[0], 1), pl.ds(k_lo, bk)]  # (1, bk)
+        return jnp.broadcast_to(row, (bq, bk))
+
+    def mixed_fn(_):
+        fbc_tile = fbc_ref[0, :, pl.ds(k_lo, bk)]  # (F, bk)
+        f_range = jax.lax.broadcasted_iota(jnp.int32, (1, n_frames), 1)
+        oq = (fq[:, None] == f_range).astype(jnp.float32)  # (bq, F)
+        return jnp.dot(
+            oq, fbc_tile, preferred_element_type=jnp.float32,
+            precision=_precision(),
+        )
+
+    return jax.lax.cond(pure, pure_fn, mixed_fn, None)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, fbc_ref, fid_ref, o_ref, lse_ref, *, scale, n_frames, bq):
     qi = pl.program_id(1)
     qb = q_ref[0]  # (bq, dh)
     kb = k_ref[0]  # (T, dh)
     s = jax.lax.dot_general(
         qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_precision(),
     ) * scale  # (bq, T)
 
-    F = n_frames
-    fids = fid_ref[:, 0]  # (T,)
-    f_range = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
-    fq = fid_ref[pl.ds(qi * bq, bq), 0]
-    oq = (fq[:, None] == f_range).astype(jnp.float32)
-    ok = (fids[:, None] == f_range).astype(jnp.float32)  # (T, F)
-    bias = jax.lax.dot_general(
-        jnp.dot(oq, fb_ref[0], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST),
-        ok,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (bq, T)
+    Tp = kb.shape[0]
+    bias = _bias_block(fbc_ref, fid_ref, qi, bq, 0, Tp, n_frames)  # (bq, T)
 
     mask = mask_ref[0, 0]  # (T,)
     s = jnp.where(mask[None, :] > 0, s + bias, NEG)
@@ -85,7 +114,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, fb_ref, fid_ref, o_ref, lse_ref, 
         p / denom,
         v_ref[0],
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_precision(),
     )
     lse_ref[0] = m + jnp.log(denom)  # (bq, 1)
 
@@ -99,11 +128,11 @@ def _dot(a, b, contract=((1,), (1,))):
         b,
         (contract, ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_precision(),
     )
 
 
-def _block_tile(fid_ref, mask_ref, fb_ref, qi, ki, scale, n_frames, bq, bk,
+def _block_tile(fid_ref, mask_ref, fbc_ref, qi, ki, scale, n_frames, bq, bk,
                 q_blk, k_blk, lse_blk, do_blk, v_blk, delta_blk):
     """Shared recompute of the (bq, bk) probability tile + dS tile."""
     F = n_frames
@@ -112,8 +141,7 @@ def _block_tile(fid_ref, mask_ref, fb_ref, qi, ki, scale, n_frames, bq, bk,
     fk = fid_ref[pl.ds(ki * bk, bk), 0]
     oq = (fq[:, None] == f_range).astype(jnp.float32)  # (bq, F)
     okb = (fk[:, None] == f_range).astype(jnp.float32)  # (bk, F)
-    bias = _dot(jnp.dot(oq, fb_ref[0], preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST), okb)  # (bq, bk)
+    bias = _bias_block(fbc_ref, fid_ref, qi, bq, ki * bk, bk, F)
 
     s = _dot(q_blk, k_blk) * scale  # (bq, bk)
     mask_k = mask_ref[0, 0, pl.ds(ki * bk, bk)]  # (bk,)
@@ -126,14 +154,14 @@ def _block_tile(fid_ref, mask_ref, fb_ref, qi, ki, scale, n_frames, bq, bk,
 
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, mask_ref, fb_ref, fid_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, mask_ref, fbc_ref, fid_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dfb_ref, *, scale, n_frames, bq, bk
 ):
     # grid (BH, nq, nk); j = innermost; dq accumulates over j, dfb over all
     qi = pl.program_id(1)
     j = pl.program_id(2)
     p, ds, ds_m, oq, okb = _block_tile(
-        fid_ref, mask_ref, fb_ref, qi, j, scale, n_frames, bq, bk,
+        fid_ref, mask_ref, fbc_ref, qi, j, scale, n_frames, bq, bk,
         q_ref[0], k_ref[0], lse_ref[0], do_ref[0], v_ref[0], delta_ref[0],
     )
 
@@ -151,19 +179,19 @@ def _bwd_dq_kernel(
         _dot(oq, ds_m, contract=((0,), (0,))),  # (F, bk)
         okb,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_precision(),
     )  # (F, F)
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, mask_ref, fb_ref, fid_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, mask_ref, fbc_ref, fid_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, *, scale, n_frames, bq, bk
 ):
     # grid (BH, nk, nq); i = innermost; dk/dv accumulate over i
     ki = pl.program_id(1)
     i = pl.program_id(2)
     p, ds, ds_m, _, _ = _block_tile(
-        fid_ref, mask_ref, fb_ref, i, ki, scale, n_frames, bq, bk,
+        fid_ref, mask_ref, fbc_ref, i, ki, scale, n_frames, bq, bk,
         q_ref[0], k_ref[0], lse_ref[0], do_ref[0], v_ref[0], delta_ref[0],
     )
 
@@ -200,8 +228,13 @@ def _pad_inputs(q, k, v, key_mask, frame_bias, frame_ids):
     kf = pad(k, 2, 3).reshape(B * H, Tp, dp)
     vf = pad(v, 2, 3).reshape(B * H, Tp, dp)
     mk = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, Tp - T)))[:, None, :]
-    fid = jnp.pad(frame_ids.astype(jnp.int32), (0, Tp - T))[:, None]  # (Tp,1)
-    return qf, kf, vf, mk, frame_bias.astype(jnp.float32), fid, (B, H, T, dh, Tp, dp, Fn)
+    # edge-pad the frame ids: keeps them monotone so the pure-block fast
+    # path test (first==last) stays valid across the padded tail
+    fid_flat = jnp.pad(frame_ids.astype(jnp.int32), (0, Tp - T), mode="edge")
+    fid = fid_flat[:, None]  # (Tp,1)
+    # per-key-column bias, expanded once in XLA: fbc[h, f, j] = fb[h, f, f_j]
+    fbc = frame_bias.astype(jnp.float32)[:, :, fid_flat]  # (H, F, Tp)
+    return qf, kf, vf, mk, fbc, fid, (B, H, T, dh, Tp, dp, Fn)
 
 
 def _fwd_call(qf, kf, vf, mk, fb, fid, dims, interpret):
@@ -219,7 +252,7 @@ def _fwd_call(qf, kf, vf, mk, fb, fid, dims, interpret):
             pl.BlockSpec((1, Tp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Tp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Tp), lambda b, i: (b // H, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fn, Fn), lambda b, i: (b % H, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fn, Tp), lambda b, i: (b % H, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Tp, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -290,7 +323,7 @@ def _flash_bwd(interpret, res, g):
             pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Tp), fullm3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fn, Fn), fullb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fn, Tp), fullb, memory_space=pltpu.VMEM),
             pl.BlockSpec((Tp, 1), fullfid, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
@@ -316,7 +349,7 @@ def _flash_bwd(interpret, res, g):
             pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Tp), fullm3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fn, Fn), fullb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fn, Tp), fullb, memory_space=pltpu.VMEM),
             pl.BlockSpec((Tp, 1), fullfid, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
