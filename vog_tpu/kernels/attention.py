@@ -76,9 +76,13 @@ def _bias_block(fbc_ref, fid_ref, qi, bq, k_lo, bk, n_frames):
     pure = fq[0] == fq[bq - 1]  # frame ids are monotone
 
     def pure_fn(_):
-        # ref slice with a traced row start (supported), not an array
-        # dynamic_slice (unimplemented in the TPU lowering)
-        row = fbc_ref[0, pl.ds(fq[0], 1), pl.ds(k_lo, bk)]  # (1, bk)
+        # select the single frame row without dynamic indexing (Mosaic
+        # rejects unaligned dynamic sublane loads): one-hot VPU reduction
+        # over the F (<=40) rows
+        fbc_tile = fbc_ref[0, :, pl.ds(k_lo, bk)]  # (F, bk)
+        f_col = jax.lax.broadcasted_iota(jnp.int32, (n_frames, 1), 0)
+        sel = (f_col == fq[0]).astype(jnp.float32)  # (F, 1)
+        row = jnp.sum(fbc_tile * sel, axis=0, keepdims=True)  # (1, bk)
         return jnp.broadcast_to(row, (bq, bk))
 
     def mixed_fn(_):
