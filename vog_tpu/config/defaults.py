@@ -70,8 +70,12 @@ class TrainCfg:
     bs: int = 4  # per-device batch (groups per device)
     epochs: int = 10
     lr: float = 1e-4
+    lr_schedule: str = "const"  # const | cosine (with linear warmup)
+    warmup_steps: int = 0
+    total_steps: int = 0  # for cosine; 0 = epochs * len(train_dl) set by CLI
     wd: float = 0.0
     grad_clip: float = 1.0
+    pos_weight: float = 1.0  # BCE positive-class weight (1.0 = reference loss)
     seed: int = 42
     resume: bool = False
     resume_path: str = ""

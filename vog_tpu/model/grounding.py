@@ -150,12 +150,14 @@ def get_model(cfg: Cfg, glove: np.ndarray, n_frames: int):
     return MODELS[cfg.mdl.name](cfg=cfg, glove=glove, n_frames=n_frames)
 
 
-def compute_loss(logits: jnp.ndarray, clip: Dict) -> Tuple[jnp.ndarray, Dict]:
+def compute_loss(
+    logits: jnp.ndarray, clip: Dict, pos_weight: float = 1.0
+) -> Tuple[jnp.ndarray, Dict]:
     """Masked BCE vs IoU>=0.5 targets — reference LossB equivalents."""
     mask = (
         clip["srl_arg_mask"][:, :, None]
         * clip["mask"][:, None, :]
         * clip["batch_mask"][:, None, None]
     )
-    loss = masked_bce_loss(logits, clip["targets"], mask)
+    loss = masked_bce_loss(logits, clip["targets"], mask, pos_weight)
     return loss, {"loss": loss}

@@ -32,12 +32,20 @@ class TrainState(train_state.TrainState):
 
 
 def make_optimizer(cfg: Cfg) -> optax.GradientTransformation:
-    """Adam (reference opt_fn) + global-norm clipping."""
-    steps = [optax.clip_by_global_norm(cfg.train.grad_clip)]
-    if cfg.train.wd > 0:
-        steps.append(optax.adamw(cfg.train.lr, weight_decay=cfg.train.wd))
+    """Adam (reference opt_fn) + global-norm clipping + optional schedule."""
+    t = cfg.train
+    if t.lr_schedule == "cosine":
+        total = max(t.total_steps, t.warmup_steps + 1)
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, t.lr, warmup_steps=max(t.warmup_steps, 1), decay_steps=total
+        )
     else:
-        steps.append(optax.adam(cfg.train.lr))
+        lr = t.lr
+    steps = [optax.clip_by_global_norm(t.grad_clip)]
+    if t.wd > 0:
+        steps.append(optax.adamw(lr, weight_decay=t.wd))
+    else:
+        steps.append(optax.adam(lr))
     return optax.chain(*steps)
 
 
@@ -104,7 +112,7 @@ def make_train_step(cfg: Cfg) -> Callable:
                 deterministic=False,
                 rngs={"dropout": step_rng},
             )
-            loss, aux = compute_loss(logits, clip)
+            loss, aux = compute_loss(logits, clip, cfg.train.pos_weight)
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
