@@ -52,6 +52,12 @@ def main(argv=None) -> Dict:
     post_proc_config(cfg)
     apply_matmul_precision(cfg)
 
+    if cfg.misc.multihost:
+        # multi-host SPMD (the reference's torch.distributed.launch analog)
+        import jax
+
+        jax.distributed.initialize()
+
     mesh = make_mesh(cfg)
     data = get_data(cfg, global_batch_size=cfg.train.bs * mesh.shape["data"])
     learner = Learner(uid, data, cfg, mesh=mesh)

@@ -97,6 +97,8 @@ class MiscCfg:
     profile_dir: str = ""  # non-empty: jax.profiler trace of train steps
     profile_steps: int = 5  # steps to capture per epoch when profiling
     check_nans: bool = True  # raise on non-finite loss at log points
+    checkify: bool = False  # wrap train step with jax checkify NaN/div guards
+    multihost: bool = False  # jax.distributed.initialize() before mesh setup
 
 
 def apply_matmul_precision(cfg: "Cfg") -> None:

@@ -91,7 +91,25 @@ class Learner:
         )
         self.state = state.replace(params=params, opt_state=opt_state)
 
-        self._train_step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+        if cfg.misc.checkify:
+            # sanitizer mode (SURVEY §5): NaN + div-by-zero guards compiled
+            # into the step; errors surface with locations at log points
+            from jax.experimental import checkify as _ck
+
+            raw_step = make_train_step(cfg)
+            jitted = jax.jit(
+                _ck.checkify(raw_step, errors=_ck.float_checks | _ck.div_checks),
+                donate_argnums=(0,),
+            )
+
+            def _step(state, batch, rng):
+                err, out = jitted(state, batch, rng)
+                _ck.check_error(err)  # host-side raise (syncs every step)
+                return out
+
+            self._train_step = _step
+        else:
+            self._train_step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
         self._eval_step = jax.jit(make_eval_step(cfg))
         self.best_metric = -float("inf")
         self.epoch = 0
