@@ -62,3 +62,19 @@ def test_span_pool_out_of_range_is_zero(rng):
         span_pool(jnp.asarray(hidden), jnp.asarray(spans), jnp.asarray([2]))
     )
     assert np.abs(out).max() == 0.0
+
+
+def test_rank_loss_basic(rng):
+    from vog_tpu.model.loss import masked_rank_loss
+    import jax.numpy as jnp
+
+    logits = jnp.asarray(rng.normal(size=(2, 3, 8)).astype(np.float32))
+    targets = jnp.zeros((2, 3, 8)).at[0, 0, 2].set(1.0).at[1, 1, 5].set(1.0)
+    mask = jnp.ones((2, 3, 8))
+    l1 = float(masked_rank_loss(logits, targets, mask))
+    # pushing the positive logit up must reduce the loss
+    l2 = float(masked_rank_loss(logits.at[0, 0, 2].add(3.0), targets, mask))
+    assert l2 < l1
+    # args without positives are ignored (no NaN)
+    l3 = float(masked_rank_loss(logits, jnp.zeros_like(targets), mask))
+    assert np.isfinite(l3) and l3 == 0.0

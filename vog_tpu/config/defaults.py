@@ -76,6 +76,8 @@ class TrainCfg:
     wd: float = 0.0
     grad_clip: float = 1.0
     pos_weight: float = 1.0  # BCE positive-class weight (1.0 = reference loss)
+    loss_type: str = "bce"  # bce | rank (adds listwise cross-video ranking term)
+    rank_weight: float = 1.0
     seed: int = 42
     resume: bool = False
     resume_path: str = ""
@@ -94,6 +96,9 @@ class MiscCfg:
     # ("highest" = 3-pass bf16 fp32 emulation); "default" trades parity for
     # ~3x matmul speed
     matmul_precision: str = "highest"
+    # rbg is ~8% faster end-to-end on TPU (dropout mask generation);
+    # threefry keeps cross-platform reproducible streams
+    prng_impl: str = "rbg"
     profile_dir: str = ""  # non-empty: jax.profiler trace of train steps
     profile_steps: int = 5  # steps to capture per epoch when profiling
     check_nans: bool = True  # raise on non-finite loss at log points
@@ -102,9 +107,12 @@ class MiscCfg:
 
 
 def apply_matmul_precision(cfg: "Cfg") -> None:
+    """Apply global runtime flags (matmul precision + PRNG implementation)."""
     import jax
 
     jax.config.update("jax_default_matmul_precision", cfg.misc.matmul_precision)
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_default_prng_impl", cfg.misc.prng_impl)
 
 
 @dataclass

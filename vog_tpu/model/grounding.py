@@ -34,7 +34,7 @@ import numpy as np
 
 from vog_tpu.config import Cfg
 from vog_tpu.model.encoders import LangEncoder, PropEncoder, SegEncoder
-from vog_tpu.model.loss import masked_bce_loss
+from vog_tpu.model.loss import masked_bce_loss, masked_rank_loss
 from vog_tpu.model.transformer import ObjectTransformer, RelTransformer
 
 
@@ -151,13 +151,20 @@ def get_model(cfg: Cfg, glove: np.ndarray, n_frames: int):
 
 
 def compute_loss(
-    logits: jnp.ndarray, clip: Dict, pos_weight: float = 1.0
+    logits: jnp.ndarray,
+    clip: Dict,
+    pos_weight: float = 1.0,
+    loss_type: str = "bce",
+    rank_weight: float = 1.0,
 ) -> Tuple[jnp.ndarray, Dict]:
-    """Masked BCE vs IoU>=0.5 targets — reference LossB equivalents."""
+    """Masked BCE (reference LossB) + optional listwise ranking term
+    ("rank" adds it; "bce" is the plain reference loss)."""
     mask = (
         clip["srl_arg_mask"][:, :, None]
         * clip["mask"][:, None, :]
         * clip["batch_mask"][:, None, None]
     )
     loss = masked_bce_loss(logits, clip["targets"], mask, pos_weight)
+    if loss_type == "rank":
+        loss = loss + rank_weight * masked_rank_loss(logits, clip["targets"], mask)
     return loss, {"loss": loss}

@@ -9,6 +9,7 @@ entries.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -30,3 +31,28 @@ def masked_bce_loss(
         per = per * jnp.where(targets > 0, pos_weight, 1.0)
     denom = jnp.maximum(mask.sum(), 1.0)
     return (per * mask).sum() / denom
+
+
+def masked_rank_loss(
+    logits: jnp.ndarray, targets: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Listwise ranking loss over each arg's candidate axis.
+
+    Reference parity: the SEP strategy "ranks proposals across the 4 score
+    sets" (SURVEY §2 SVSQ/SEP row; cross-video ranking normalization
+    [C-MED]).  Implemented as softmax cross-entropy over the proposal axis
+    with the IoU>=0.5 positives as a normalized soft target — pushes the
+    positive video's matching proposals above ALL other videos' candidates
+    instead of scoring each independently.
+
+    logits/targets/mask: (B, A, T); args with no positive are skipped.
+    """
+    neg = -1e30
+    masked_logits = jnp.where(mask > 0, logits, neg)
+    logp = jax.nn.log_softmax(masked_logits, axis=-1)  # (B,A,T)
+    pos = targets * mask
+    pos_count = pos.sum(-1)  # (B,A)
+    soft = pos / jnp.maximum(pos_count[..., None], 1.0)
+    per_arg = -(soft * logp).sum(-1)  # (B,A)
+    has_pos = (pos_count > 0).astype(logits.dtype)
+    return (per_arg * has_pos).sum() / jnp.maximum(has_pos.sum(), 1.0)

@@ -112,7 +112,10 @@ def make_train_step(cfg: Cfg) -> Callable:
                 deterministic=False,
                 rngs={"dropout": step_rng},
             )
-            loss, aux = compute_loss(logits, clip, cfg.train.pos_weight)
+            loss, aux = compute_loss(
+                logits, clip, cfg.train.pos_weight,
+                cfg.train.loss_type, cfg.train.rank_weight,
+            )
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
