@@ -122,10 +122,12 @@ class AnetSRLDataset:
         return len(self.anns)
 
     # -- per-video feature block -------------------------------------------
-    def _video_block(self, vid_seg: str):
+    def _video_block(self, vid_seg: str, fetched=None):
         cfg = self.cfg.ds
         F, P = cfg.num_frms, cfg.num_prop_per_frm
-        feats, boxes_abs, scores, seg = self.store.get(vid_seg)
+        feats, boxes_abs, scores, seg = (
+            fetched if fetched is not None else self.store.get(vid_seg)
+        )
         w, h = self.store.dims(vid_seg)
         f0, p0 = feats.shape[0], feats.shape[1]
         props = np.zeros((F, P, cfg.prop_dim), np.float32)
@@ -160,8 +162,14 @@ class AnetSRLDataset:
         segf = np.zeros((V, F, cfg.seg_dim), np.float32)
         pos_abs_boxes = None
         pos_dims = None
-        for v, g in enumerate(group_anns):
-            pr, pb, pm, sg, abs_b, dims = self._video_block(g["vid_seg"])
+        # one threaded C++ gather for the whole group when the packed
+        # store is in use (vog_tpu/data/featpack.py)
+        if hasattr(self.store, "gather_many"):
+            fetched_all = self.store.gather_many([g["vid_seg"] for g in group_anns])
+        else:
+            fetched_all = [None] * len(group_anns)
+        for v, (g, fetched) in enumerate(zip(group_anns, fetched_all)):
+            pr, pb, pm, sg, abs_b, dims = self._video_block(g["vid_seg"], fetched)
             props[v], pbox[v], pmask[v], segf[v] = pr, pb, pm, sg
             if v == pos_slot:
                 pos_abs_boxes, pos_dims = abs_b, dims

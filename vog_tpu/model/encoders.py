@@ -65,15 +65,21 @@ class LangEncoder(nn.Module):
         role_emb = nn.Embed(
             self.cfg.ds.num_roles, m.role_dim, name="role_embed"
         )(srl_roles)  # (B,A,role_dim)
-        arg_rep = nn.Dense(m.vis_dim, name="arg_proj")(
-            jnp.concatenate([arg_span, role_emb], axis=-1)
-        )
-        arg_rep = nn.relu(arg_rep)
 
         B, L, _ = y.shape
         verb_rep = jnp.take_along_axis(
             y, verb_idx[:, None, None].astype(jnp.int32).repeat(lang_dim, -1), axis=1
         )[:, 0]  # (B,2H)
+
+        # per-arg rep conditions on span pool + role label + the verb
+        # (reference builds the verb rep alongside the arg reps — SURVEY §2
+        # language-encoder row; the fusion detail is [C-MED])
+        A = arg_span.shape[1]
+        verb_tiled = jnp.broadcast_to(verb_rep[:, None], (B, A, lang_dim))
+        arg_rep = nn.Dense(m.vis_dim, name="arg_proj")(
+            jnp.concatenate([arg_span, role_emb, verb_tiled], axis=-1)
+        )
+        arg_rep = nn.relu(arg_rep)
         q_rep = nn.Dense(m.vis_dim, name="q_proj")(h_n)
         return {"arg_rep": arg_rep, "verb_rep": verb_rep, "q_rep": q_rep, "hidden": y}
 
