@@ -9,7 +9,7 @@ from vog_tpu.train import Learner, make_mesh
 from vog_tpu.train.dist import shard_batch
 
 
-def test_checkify_step_runs_clean(fixture_dir, tmp_path):
+def test_checkify_clean_and_nan(fixture_dir, tmp_path):
     cfg = small_cfg(
         fixture_dir,
         **{"mdl.name": "img_grnd", "misc.checkify": True, "misc.mesh_data": 1},
@@ -17,24 +17,14 @@ def test_checkify_step_runs_clean(fixture_dir, tmp_path):
     cfg.misc.tmp_path = str(tmp_path / "tmp")
     mesh = make_mesh(cfg)
     data = get_data(cfg, global_batch_size=cfg.train.bs)
-    lrn = Learner("ck_ok", data, cfg, mesh=mesh)
+    lrn = Learner("ck", data, cfg, mesh=mesh)
     batch = next(iter(data.train_dl))
     state, aux = lrn._train_step(lrn.state, shard_batch(batch, mesh), lrn.rng)
     assert np.isfinite(float(aux["loss"]))
 
-
-def test_checkify_catches_nan_input(fixture_dir, tmp_path):
-    cfg = small_cfg(
-        fixture_dir,
-        **{"mdl.name": "img_grnd", "misc.checkify": True, "misc.mesh_data": 1},
-    )
-    cfg.misc.tmp_path = str(tmp_path / "tmp")
-    mesh = make_mesh(cfg)
-    data = get_data(cfg, global_batch_size=cfg.train.bs)
-    lrn = Learner("ck_bad", data, cfg, mesh=mesh)
-    batch = next(iter(data.train_dl))
-    batch["props"] = batch["props"].copy()
-    batch["props"][0, 0, 0, 0, 0] = np.nan
+    bad = dict(batch)
+    bad["props"] = batch["props"].copy()
+    bad["props"][0, 0, 0, 0, 0] = np.nan
     with pytest.raises(Exception):  # checkify JaxRuntimeError
-        state, aux = lrn._train_step(lrn.state, shard_batch(batch, mesh), lrn.rng)
+        state, aux = lrn._train_step(lrn.state, shard_batch(bad, mesh), lrn.rng)
         float(aux["loss"])

@@ -35,7 +35,7 @@ def test_train_step_on_mesh(fixture_dir, tmp_path, mesh_shape):
     over = {
         "misc.mesh_data": d,
         "misc.mesh_model": m,
-        "mdl.name": "vog",
+        "mdl.name": "vid_grnd",
         "ds.conc_type": "spat",
         "train.bs": 1,
         "train.log_every": 1000,
@@ -66,21 +66,24 @@ def test_train_step_on_mesh(fixture_dir, tmp_path, mesh_shape):
 
 
 def test_dp_equals_single_device_loss(fixture_dir, tmp_path):
-    """Same global batch: loss on 8-way DP mesh == loss on 1-device mesh."""
-    over = {"train.bs": 1, "train.log_every": 1000}
+    """Same global batch + params: loss on 8-way DP mesh == 1-device mesh."""
+    import jax
+
+    from vog_tpu.data import get_vocab
+    from vog_tpu.train.state import init_state
+
+    over = {"train.bs": 1, "train.log_every": 1000, "mdl.dropout": 0.0}
     cfg8 = small_cfg(fixture_dir, **dict(over, **{"misc.mesh_data": 8}))
-    cfg8.misc.tmp_path = str(tmp_path / "t8")
-    mesh8 = make_mesh(cfg8)
-    data8 = get_data(cfg8, global_batch_size=8)
-    l8 = Learner("dp8", data8, cfg8, mesh=mesh8)
-
     cfg1 = small_cfg(fixture_dir, **dict(over, **{"misc.mesh_data": 1}))
-    cfg1.misc.tmp_path = str(tmp_path / "t1")
-    mesh1 = make_mesh(cfg1)
-    data1 = get_data(cfg1, global_batch_size=8)
-    l1 = Learner("dp1", data1, cfg1, mesh=mesh1)
+    mesh8, mesh1 = make_mesh(cfg8), make_mesh(cfg1)
+    glove = get_vocab(cfg8).vectors
+    state = init_state(cfg8, glove, jax.random.PRNGKey(0), 8)
+    step8 = jax.jit(make_train_step(cfg8))
+    step1 = jax.jit(make_train_step(cfg1))
 
-    batch = next(iter(data8.train_dl))
-    _, aux8 = l8._train_step(l8.state, shard_batch(batch, mesh8), l8.rng)
-    _, aux1 = l1._train_step(l1.state, shard_batch(batch, mesh1), l1.rng)
+    data = get_data(cfg8, global_batch_size=8)
+    batch = next(iter(data.train_dl))
+    rng = jax.random.PRNGKey(1)
+    _, aux8 = step8(state, shard_batch(batch, mesh8), rng)
+    _, aux1 = step1(state, shard_batch(batch, mesh1), rng)
     np.testing.assert_allclose(float(aux8["loss"]), float(aux1["loss"]), rtol=1e-5)

@@ -87,11 +87,14 @@ class BatchIterator:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        failure: List[BaseException] = []
 
         def worker():
             try:
                 for b in batches:
                     q.put(self._make_batch(b, rng))
+            except BaseException as e:  # propagate to the consumer
+                failure.append(e)
             finally:
                 q.put(SENTINEL)
 
@@ -103,6 +106,8 @@ class BatchIterator:
                 break
             yield item
         t.join()
+        if failure:
+            raise failure[0]
 
 
 @dataclass

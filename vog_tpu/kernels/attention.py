@@ -9,17 +9,23 @@ Design (SURVEY §7 hard part #2):
   * Flash-style: the (T, T) score matrix lives only in VMEM, one q-block
     at a time; softmax is computed in-block (the whole key dimension fits
     VMEM at T<=4096, so no online rescaling pass is needed).
-  * Relative-position bias is *factored through frames*: the learned table
-    gives a per-head (F, F) frame-pair bias; inside the kernel it is
-    expanded to the (bq, T) token block by two small one-hot matmuls
-    (bq,F)·(F,F)·(F,T) instead of a (T, T) gather — MXU work, no
-    scatter/gather.
-  * Backward is two Pallas kernels (dq + frame-bias grad; dk/dv) that
-    recompute the probabilities from the forward logsumexp — no (T, T)
-    residuals in HBM.
-  * Padding: T is padded to the 128-token block, head dim to the 128-lane
-    tile; masked lanes use a finite -1e30 so fully-masked rows stay NaN
-    free.
+  * Relative-position bias is *factored through frames*: the learned
+    (H, F, F) table is expanded once in XLA to a per-key-column bias
+    fbc (H, F, T); inside the kernel a bias tile is either a single
+    frame row of fbc broadcast over the q block (fast path — every block
+    whose q rows share one frame, e.g. 3/4 of P100-SPAT blocks) or a
+    one-hot (bq,F)·(F,bk) matmul for frame-crossing blocks.  The (T, T)
+    token-level bias never exists anywhere.
+  * Backward is two fully-blocked Pallas kernels (dq + frame-bias grad
+    over grid (BH, nq, nk); dk/dv over (BH, nk, nq)) that recompute the
+    probability tiles from the forward logsumexp — no (T, T) residuals in
+    HBM and all VMEM buffers are (block, block) sized.
+  * Padding: T is padded to the block (128 fwd / 512 bwd long-seq), head
+    dim to the 128-lane tile; masked lanes use a finite -1e30 so
+    fully-masked rows stay NaN free; frame ids are edge-padded to keep
+    the pure-block test monotone.
+  * Dispatch: ``model/transformer.py §attention`` routes T >= 1024 here
+    and shorter sequences to XLA (measured crossover on v5e).
 
 The XLA fallback (``model/transformer.py §xla_attention``) computes the
 same math; ``tests/test_attention.py`` checks fwd+bwd parity in interpret

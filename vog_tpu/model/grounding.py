@@ -113,7 +113,11 @@ class VOGNet(ImgGrnd):
         super().setup()
         self.obj_tx = ObjectTransformer(self.cfg)
         self.mm_tx = RelTransformer(self.cfg, self.n_frames)
-        self.mm_proj = nn.Dense(self.cfg.mdl.vis_dim)
+        # Dense([vis;arg]) split into two halves applied pre-broadcast:
+        # identical math, but the (B,A,T,2D) concat intermediate (320MB in
+        # the P100 regime) never materializes — only the (B,A,T,D) sum does
+        self.mm_proj_vis = nn.Dense(self.cfg.mdl.vis_dim)
+        self.mm_proj_arg = nn.Dense(self.cfg.mdl.vis_dim, use_bias=False)
         self.mm_head = nn.Dense(1)
 
     def __call__(self, clip: Dict, deterministic: bool = True) -> jnp.ndarray:
@@ -122,16 +126,10 @@ class VOGNet(ImgGrnd):
         arg = lang["arg_rep"]  # (B,A,D)
         B, T, D = vis.shape
         A = arg.shape[1]
-        # multimodal tokens: [vis ; arg_a] per (a, t); fold A into batch so
-        # the rel-transformer runs one big (B*A, T, D) self-attention
-        mm = self.mm_proj(
-            jnp.concatenate(
-                [
-                    jnp.broadcast_to(vis[:, None], (B, A, T, D)),
-                    jnp.broadcast_to(arg[:, :, None], (B, A, T, D)),
-                ],
-                axis=-1,
-            )
+        # multimodal tokens: proj(vis_t) + proj(arg_a) per (a, t); fold A
+        # into batch so the rel-transformer runs one (B*A, T, D) attention
+        mm = (
+            self.mm_proj_vis(vis)[:, None] + self.mm_proj_arg(arg)[:, :, None]
         ).reshape(B * A, T, D)
         key_mask = jnp.repeat(clip["mask"], A, axis=0)
         mm = self.mm_tx(mm, key_mask, clip["frame_ids"], deterministic)
