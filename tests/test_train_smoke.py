@@ -79,3 +79,21 @@ def test_best_checkpoint_tracked(fixture_dir, tmp_path):
     lrn.fit()
     assert (Path(cfg.misc.tmp_path) / "models" / "best" / "best").exists()
     assert lrn.best_metric > 0
+
+
+def test_mid_epoch_resume_skips_batches(fixture_dir, tmp_path):
+    """Iterator state (epoch + batch position) round-trips through the
+    checkpoint; resume fast-forwards past consumed batches."""
+    lrn, data, cfg = _learner(fixture_dir, tmp_path, "mid", **{"train.epochs": 1})
+    n_batches = len(data.train_dl)
+    lrn.batch_in_epoch = 3  # simulate a crash after 3 batches
+    lrn.save("last")
+
+    lrn2, data2, _ = _learner(fixture_dir, tmp_path, "mid", **{"train.epochs": 1})
+    lrn2.load()
+    assert lrn2.batch_in_epoch == 3
+    step0 = int(lrn2.state.step)
+    lrn2.fit(epochs=1)
+    # only the remaining batches of the epoch ran
+    assert int(lrn2.state.step) - step0 == n_batches - 3
+    assert lrn2.batch_in_epoch == 0  # reset at epoch end

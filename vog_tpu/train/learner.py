@@ -113,6 +113,7 @@ class Learner:
         self._eval_step = jax.jit(make_eval_step(cfg))
         self.best_metric = -float("inf")
         self.epoch = 0
+        self.batch_in_epoch = 0
 
         if cfg.train.resume:
             self.load(cfg.train.resume_path or None)
@@ -140,7 +141,17 @@ class Learner:
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         with open(self.ckpt_dir / f"{tag}.meta.json", "w") as f:
-            json.dump({"epoch": self.epoch, "best_metric": self.best_metric}, f)
+            json.dump(
+                {
+                    "epoch": self.epoch,
+                    "best_metric": self.best_metric,
+                    # deterministic iterator state (SURVEY §5): epoch +
+                    # position; resume replays the epoch's ordering and
+                    # fast-forwards past consumed batches
+                    "batch_in_epoch": self.batch_in_epoch,
+                },
+                f,
+            )
 
     def load(self, path: Optional[str] = None, tag: str = "last") -> None:
         ckpt_path = Path(path).absolute() if path else self.ckpt_dir / tag
@@ -162,7 +173,11 @@ class Learner:
                 meta = json.load(f)
             self.epoch = meta.get("epoch", 0)
             self.best_metric = meta.get("best_metric", -float("inf"))
-        self.log(f"resumed from {ckpt_path} at step {int(self.state.step)}")
+            self.batch_in_epoch = meta.get("batch_in_epoch", 0)
+        self.log(
+            f"resumed from {ckpt_path} at step {int(self.state.step)} "
+            f"(epoch {self.epoch}, batch {self.batch_in_epoch})"
+        )
 
     # -- train ------------------------------------------------------------------
     def fit(self, epochs: Optional[int] = None, lr: Optional[float] = None) -> Dict:
@@ -170,11 +185,19 @@ class Learner:
         epochs = epochs or cfg.train.epochs
         smooth = SmoothenValue()
         metrics: Dict = {}
+        # replay determinism across resume: iterator epoch follows ours,
+        # and a mid-epoch resume fast-forwards (batches are constructed
+        # and discarded so the sampling RNG stream stays aligned)
+        self.data.train_dl.epoch = self.epoch
+        skip = self.batch_in_epoch
         for _ in range(epochs):
             t0 = time.time()
             n_seen = 0
             profiling = False
             for i, batch in enumerate(self.data.train_dl):
+                if i < skip:
+                    continue
+                self.batch_in_epoch = i + 1
                 if cfg.misc.profile_dir and i == 1:  # skip compile step
                     jax.profiler.start_trace(cfg.misc.profile_dir)
                     profiling = True
@@ -216,6 +239,8 @@ class Learner:
             )
             self.log(f"ep {self.epoch} metrics {metrics}")
             self.log_json(metrics)
+            skip = 0
+            self.batch_in_epoch = 0
             self.epoch += 1  # ckpt meta records the next epoch to run
             self.save("last")
             if metrics["acc"] > self.best_metric:
