@@ -60,6 +60,9 @@ class MdlCfg:
     dropout: float = 0.1
     rpe_max_dist: int = 10  # relative-frame-distance clip for RPE
     use_pallas_attn: bool = True  # fused Pallas attention on TPU
+    # arg-decomposed first mm layer: one shared QK matmul instead of A
+    # (exact; see transformer.DecomposedRelAttention)
+    decomposed_mm: bool = True
     train_embeddings: bool = False  # fine-tune GloVe
 
 

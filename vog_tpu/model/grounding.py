@@ -35,7 +35,11 @@ import numpy as np
 from vog_tpu.config import Cfg
 from vog_tpu.model.encoders import LangEncoder, PropEncoder, SegEncoder
 from vog_tpu.model.loss import masked_bce_loss, masked_rank_loss
-from vog_tpu.model.transformer import ObjectTransformer, RelTransformer
+from vog_tpu.model.transformer import (
+    ObjectTransformer,
+    RelTransformer,
+    RelTransformerDecomposed,
+)
 
 
 class GroundingHead(nn.Module):
@@ -112,7 +116,10 @@ class VOGNet(ImgGrnd):
     def setup(self):
         super().setup()
         self.obj_tx = ObjectTransformer(self.cfg)
-        self.mm_tx = RelTransformer(self.cfg, self.n_frames)
+        if self.cfg.mdl.decomposed_mm:
+            self.mm_tx = RelTransformerDecomposed(self.cfg, self.n_frames)
+        else:
+            self.mm_tx = RelTransformer(self.cfg, self.n_frames)
         # Dense([vis;arg]) split into two halves applied pre-broadcast:
         # identical math, but the (B,A,T,2D) concat intermediate (320MB in
         # the P100 regime) never materializes — only the (B,A,T,D) sum does
@@ -126,13 +133,16 @@ class VOGNet(ImgGrnd):
         arg = lang["arg_rep"]  # (B,A,D)
         B, T, D = vis.shape
         A = arg.shape[1]
-        # multimodal tokens: proj(vis_t) + proj(arg_a) per (a, t); fold A
-        # into batch so the rel-transformer runs one (B*A, T, D) attention
-        mm = (
-            self.mm_proj_vis(vis)[:, None] + self.mm_proj_arg(arg)[:, :, None]
-        ).reshape(B * A, T, D)
-        key_mask = jnp.repeat(clip["mask"], A, axis=0)
-        mm = self.mm_tx(mm, key_mask, clip["frame_ids"], deterministic)
+        # multimodal tokens: proj(vis_t) + proj(arg_a) per (a, t)
+        m = self.mm_proj_vis(vis)  # (B,T,D)
+        g = self.mm_proj_arg(arg)  # (B,A,D)
+        if self.cfg.mdl.decomposed_mm:
+            # first mm layer shares the QK matmul across args (exact)
+            mm = self.mm_tx(m, g, clip["mask"], clip["frame_ids"], deterministic)
+        else:
+            tokens = (m[:, None] + g[:, :, None]).reshape(B * A, T, D)
+            key_mask = jnp.repeat(clip["mask"], A, axis=0)
+            mm = self.mm_tx(tokens, key_mask, clip["frame_ids"], deterministic)
         mm = mm.reshape(B, A, T, D)
         # direct ImgGrnd-style path + multimodal head (residual scoring)
         logits = self.head(vis, arg)

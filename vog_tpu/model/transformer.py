@@ -145,6 +145,84 @@ class RelMultiHeadAttention(nn.Module):
         return nn.Dropout(m.dropout)(out, deterministic=deterministic)
 
 
+class DecomposedRelAttention(nn.Module):
+    """Arg-decomposed relative-position attention for VOGNet's FIRST
+    multimodal layer.
+
+    The layer-1 multimodal tokens are x_{a,t} = m_t + g_a (proposal part +
+    per-arg language part).  Then for every head:
+
+      logits_a[i,j] = (qm_i+qg_a)·(km_j+kg_a)
+                    = qm_i·km_j  +  qg_a·km_j  + (terms constant over j)
+
+    and the j-constant terms cancel in the softmax.  So ONE shared
+    (T,T) logit matrix (with the relative-frame bias and key mask, both
+    arg-independent) serves all A args; each arg only contributes a
+    key-side reweighting e^{c_a_j}, folded into the value matmul:
+
+      P_a @ v  =  (w ∘ e^{c_a}) @ (vm + vg_a) / (w @ e^{c_a})
+               =  [w @ (e^{c_a} ∘ vm)] / [w @ e^{c_a}]  +  vg_a
+
+    This computes the QK matmul and the qkv projections of the T-token
+    stream once instead of A times (A=5 -> ~40% of the attention FLOPs in
+    the P100 regime).  Exact — parity-tested against the materialized
+    path in tests/test_models.py.
+    """
+
+    cfg: Cfg
+    n_frames: int
+
+    @nn.compact
+    def __call__(self, m, g, key_mask, frame_ids, deterministic=True):
+        cfgm = self.cfg.mdl
+        B, T, D = m.shape
+        A = g.shape[1]
+        H, K = cfgm.n_heads, cfgm.rpe_max_dist
+        dh = D // H
+
+        qkv = nn.Dense(3 * D, name="qkv")
+        qm, km, vm = jnp.split(qkv(m), 3, axis=-1)  # (B,T,D)
+        # the affine bias lives in the m-part; the g-part must be linear-only
+        # so that qkv(m) + qkv_linear(g) == qkv(m + g)
+        g_affine = qkv(g) - qkv(jnp.zeros((1, 1, D), g.dtype))
+        qg, kg, vg = jnp.split(g_affine, 3, axis=-1)  # (B,A,D)
+
+        def heads(t, L):
+            return t.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+
+        qm, km, vm = heads(qm, T), heads(km, T), heads(vm, T)
+        qg, kg, vg = heads(qg, A), heads(kg, A), heads(vg, A)
+
+        table = self.param("rpe_table", nn.initializers.normal(0.02), (H, 2 * K + 1))
+        f = np.arange(self.n_frames)
+        dist = np.clip(f[:, None] - f[None, :], -K, K) + K
+        fbias = table[:, jnp.asarray(dist)]  # (H,F,F)
+        tok_bias = fbias[:, frame_ids][:, :, frame_ids]  # (H,T,T)
+
+        scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+        shared = jnp.einsum("bhid,bhjd->bhij", qm, km) * scale + tok_bias[None]
+        neg = jnp.finfo(shared.dtype).min
+        shared = jnp.where(key_mask[:, None, None, :] > 0, shared, neg)
+        w = jnp.exp(shared - shared.max(-1, keepdims=True))  # (B,H,T,T)
+
+        # per-arg key reweighting: c_a[j] = (qg_a + qm_i-const parts)·km_j
+        c = jnp.einsum("bhad,bhjd->bhaj", qg, km) * scale  # (B,H,A,T)
+        c = jnp.where(key_mask[:, None, None, :] > 0, c, 0.0)
+        e = jnp.exp(c - c.max(-1, keepdims=True))  # (B,H,A,T)
+
+        ev = e[..., None] * vm[:, :, None]  # (B,H,A,T,dh)
+        numer = jnp.einsum("bhij,bhajd->bhaid", w, ev)
+        denom = jnp.einsum("bhij,bhaj->bhai", w, e)
+        # kg enters logits only via qm_i·kg_a, constant over j -> cancels in
+        # the softmax (exactly as in the materialized path); vg shifts every
+        # attention output by the arg's value part since rows of P sum to 1
+        out = numer / jnp.maximum(denom[..., None], 1e-30) + vg[:, :, :, None]
+
+        out = out.transpose(0, 2, 3, 1, 4).reshape(B, A, T, D)
+        out = nn.Dense(D, name="out")(out)
+        return nn.Dropout(cfgm.dropout)(out, deterministic=deterministic)
+
+
 class TxLayer(nn.Module):
     """Post-LN encoder layer: MHA -> add&norm -> FFN -> add&norm
     (reference ``transformer_code.py §Transformer`` layer)."""
@@ -203,4 +281,50 @@ class RelTransformer(nn.Module):
             x = TxLayer(
                 self.cfg, relative=True, n_frames=self.n_frames, name=f"layer{i}"
             )(x, key_mask, frame_ids, deterministic)
+        return x
+
+
+class DecomposedRelTxLayer(nn.Module):
+    """First multimodal layer operating on the (m, g) decomposition;
+    param names mirror TxLayer/RelMultiHeadAttention so the same variable
+    tree serves both paths."""
+
+    cfg: Cfg
+    n_frames: int
+
+    @nn.compact
+    def __call__(self, m, g, key_mask, frame_ids, deterministic=True):
+        cfgm = self.cfg.mdl
+        B, T, D = m.shape
+        A = g.shape[1]
+        attn = DecomposedRelAttention(self.cfg, self.n_frames, name="attn")(
+            m, g, key_mask, frame_ids, deterministic
+        )  # (B,A,T,D)
+        x = (m[:, None] + g[:, :, None] + attn).reshape(B * A, T, D)
+        x = nn.LayerNorm(name="ln1")(x)
+        h = nn.Dense(cfgm.ff_mult * D, name="ff1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(cfgm.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(D, name="ff2")(h)
+        return nn.LayerNorm(name="ln2")(x + h)  # (B*A, T, D)
+
+
+class RelTransformerDecomposed(nn.Module):
+    """RelTransformer whose first layer consumes the (m, g) decomposition
+    (exact; see DecomposedRelAttention); later layers run materialized."""
+
+    cfg: Cfg
+    n_frames: int
+
+    @nn.compact
+    def __call__(self, m, g, key_mask, frame_ids, deterministic=True):
+        A = g.shape[1]
+        x = DecomposedRelTxLayer(self.cfg, self.n_frames, name="layer0")(
+            m, g, key_mask, frame_ids, deterministic
+        )
+        key_mask_a = jnp.repeat(key_mask, A, axis=0)
+        for i in range(1, self.cfg.mdl.mm_tx_layers):
+            x = TxLayer(
+                self.cfg, relative=True, n_frames=self.n_frames, name=f"layer{i}"
+            )(x, key_mask_a, frame_ids, deterministic)
         return x
