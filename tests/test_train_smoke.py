@@ -97,3 +97,21 @@ def test_mid_epoch_resume_skips_batches(fixture_dir, tmp_path):
     # only the remaining batches of the epoch ran
     assert int(lrn2.state.step) - step0 == n_batches - 3
     assert lrn2.batch_in_epoch == 0  # reset at epoch end
+
+
+def test_rank_loss_training_runs(fixture_dir, tmp_path):
+    """loss_type=rank (SEP cross-video ranking) trains without NaNs."""
+    lrn, data, cfg = _learner(
+        fixture_dir,
+        tmp_path,
+        "rank",
+        **{
+            "train.epochs": 2,
+            "ds.conc_type": "sep",
+            "mdl.name": "img_grnd",
+            "train.loss_type": "rank",
+        },
+    )
+    m = lrn.fit()
+    assert np.isfinite(m["val_loss"])
+    assert 0.0 <= m["acc"] <= 1.0

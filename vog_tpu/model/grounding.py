@@ -72,12 +72,14 @@ class ImgGrnd(nn.Module):
     cfg: Cfg
     glove: np.ndarray
     n_frames: int  # frames in the clip view (static)
+    remat_head: bool = False  # rematerialize the (B,A,T,D) head (P100 memory)
 
     def setup(self):
         self.lang = LangEncoder(self.cfg, self.glove)
         self.prop_enc = PropEncoder(self.cfg)
         self.seg_enc = SegEncoder(self.cfg)
-        self.head = nn.remat(GroundingHead)(self.cfg)
+        head_cls = nn.remat(GroundingHead) if self.remat_head else GroundingHead
+        self.head = head_cls(self.cfg)
 
     def encode(self, clip: Dict, deterministic: bool):
         lang = self.lang(
@@ -155,7 +157,17 @@ MODELS = {"img_grnd": ImgGrnd, "vid_grnd": VidGrnd, "vog": VOGNet}
 
 def get_model(cfg: Cfg, glove: np.ndarray, n_frames: int):
     """Reference ``code/mdl_selector.py §get_mdl_loss_eval`` (model part)."""
-    return MODELS[cfg.mdl.name](cfg=cfg, glove=glove, n_frames=n_frames)
+    # remat the (B,A,T,D) head only when the clip view is long enough for
+    # memory to matter (P100 regimes); short views pay the recompute for
+    # nothing (~15% of the GT5 step)
+    tokens = n_frames * cfg.ds.num_prop_per_frm * (
+        cfg.ds.num_cmp if cfg.ds.conc_type == "spat" else 1
+    )
+    # n_frames already folds the TEMP concat; spat folds props instead
+    remat = tokens >= 1024
+    return MODELS[cfg.mdl.name](
+        cfg=cfg, glove=glove, n_frames=n_frames, remat_head=remat
+    )
 
 
 def compute_loss(
