@@ -262,6 +262,9 @@ class Learner:
             bm = np.asarray(batch["batch_mask"])
             sb = shard_batch(batch, self.mesh, self.cfg.misc.half_feats)
             out = self._eval_step(self.state, sb)
+            # one bulk device->host transfer per batch (each separate
+            # fetch costs a full round-trip through the TPU tunnel)
+            out = jax.device_get(out)
             for k in list(sums.keys()):
                 sums[k] += float(out[k])
             considered = np.asarray(out["considered"])
