@@ -1,0 +1,60 @@
+"""Smaller runtime flags: bf16 feature storage, profiler trace, vocab npz."""
+
+from pathlib import Path
+
+import numpy as np
+
+from tests.conftest import small_cfg
+from vog_tpu.data import get_data
+from vog_tpu.data.vocab import Vocab
+from vog_tpu.train import Learner, make_mesh
+from vog_tpu.train.dist import shard_batch
+
+
+def test_half_feats_step_runs(fixture_dir, tmp_path):
+    cfg = small_cfg(
+        fixture_dir,
+        **{"mdl.name": "img_grnd", "misc.half_feats": True, "misc.mesh_data": 1},
+    )
+    cfg.misc.tmp_path = str(tmp_path / "tmp")
+    mesh = make_mesh(cfg)
+    data = get_data(cfg, global_batch_size=cfg.train.bs)
+    lrn = Learner("hf", data, cfg, mesh=mesh)
+    batch = next(iter(data.train_dl))
+    sb = shard_batch(batch, mesh, half_feats=True)
+    assert str(sb["props"].dtype) == "bfloat16"
+    assert str(sb["prop_boxes"].dtype) == "float32"  # geometry stays fp32
+    state, aux = lrn._train_step(lrn.state, sb, lrn.rng)
+    assert np.isfinite(float(aux["loss"]))
+
+
+def test_profiler_trace_written(fixture_dir, tmp_path):
+    cfg = small_cfg(
+        fixture_dir,
+        **{
+            "mdl.name": "img_grnd",
+            "train.epochs": 1,
+            "misc.mesh_data": 1,
+            "misc.profile_steps": 2,
+            "train.log_every": 1000,
+        },
+    )
+    cfg.misc.tmp_path = str(tmp_path / "tmp")
+    cfg.misc.profile_dir = str(tmp_path / "trace")
+    mesh = make_mesh(cfg)
+    data = get_data(cfg, global_batch_size=cfg.train.bs)
+    lrn = Learner("prof", data, cfg, mesh=mesh)
+    lrn.fit()
+    traces = list(Path(cfg.misc.profile_dir).rglob("*.trace.json.gz"))
+    assert traces, "no profiler trace written"
+
+
+def test_vocab_npz_roundtrip(tmp_path, rng):
+    words = ["alpha", "beta", "gamma"]
+    vecs = rng.normal(size=(3, 8)).astype(np.float32)
+    v = Vocab(words, vecs)
+    v.save_npz(tmp_path / "v.npz")
+    v2 = Vocab.from_npz(tmp_path / "v.npz")
+    assert v2.itos == v.itos
+    np.testing.assert_array_equal(v2.vectors, v.vectors)
+    assert v2.encode(["beta", "zzz"]) == [v.stoi["beta"], 1]
