@@ -63,6 +63,9 @@ class MdlCfg:
     # arg-decomposed first mm layer: one shared QK matmul instead of A
     # (exact; see transformer.DecomposedRelAttention)
     decomposed_mm: bool = True
+    # fused = reference-style cross-product MLP head; dot = factorized
+    # bilinear head, much cheaper, different capacity (opt-in)
+    head_type: str = "fused"
     train_embeddings: bool = False  # fine-tune GloVe
 
 

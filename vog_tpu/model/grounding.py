@@ -66,6 +66,28 @@ class GroundingHead(nn.Module):
         return nn.Dense(1, name="head2")(h)[..., 0]
 
 
+class DotGroundingHead(nn.Module):
+    """Factorized alternative head: score = <MLP_v(vis_t), MLP_l(arg_a)>.
+
+    O(B(T+A)D^2) with no (B,A,T,D) intermediate — ~none of the fused
+    head's HBM traffic (the dominant GT5 step cost).  Different capacity
+    than the reference's fused head, so it is opt-in
+    (``--mdl.head_type=dot``); the default stays reference-faithful.
+    """
+
+    cfg: Cfg
+
+    @nn.compact
+    def __call__(self, vis: jnp.ndarray, arg: jnp.ndarray) -> jnp.ndarray:
+        D = self.cfg.mdl.vis_dim
+        v = nn.Dense(D, name="v2")(nn.relu(nn.Dense(D, name="v1")(vis)))
+        l = nn.Dense(D, name="l2")(nn.relu(nn.Dense(D, name="l1")(arg)))
+        bias = self.param("score_bias", nn.initializers.zeros, ())
+        return jnp.einsum("bad,btd->bat", l, v) / jnp.sqrt(
+            jnp.float32(D)
+        ) + bias
+
+
 class ImgGrnd(nn.Module):
     """Per-proposal scoring with no cross-frame reasoning."""
 
@@ -78,8 +100,11 @@ class ImgGrnd(nn.Module):
         self.lang = LangEncoder(self.cfg, self.glove)
         self.prop_enc = PropEncoder(self.cfg)
         self.seg_enc = SegEncoder(self.cfg)
-        head_cls = nn.remat(GroundingHead) if self.remat_head else GroundingHead
-        self.head = head_cls(self.cfg)
+        if self.cfg.mdl.head_type == "dot":
+            self.head = DotGroundingHead(self.cfg)
+        else:
+            head_cls = nn.remat(GroundingHead) if self.remat_head else GroundingHead
+            self.head = head_cls(self.cfg)
 
     def encode(self, clip: Dict, deterministic: bool):
         lang = self.lang(
