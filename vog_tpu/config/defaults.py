@@ -66,6 +66,11 @@ class MdlCfg:
     # fused = reference-style cross-product MLP head; dot = factorized
     # bilinear head, much cheaper, different capacity (opt-in)
     head_type: str = "fused"
+    # fused shared-QK multi-arg Pallas kernel for the decomposed mm layer:
+    # keeps the (B,H,T,T) weights out of HBM entirely (use when batch x T^2
+    # memory is the binding constraint).  Measured ~4% slower than the
+    # XLA path at P100 B=2, so speed-wise the default stays off.
+    mm_kernel: bool = False
     train_embeddings: bool = False  # fine-tune GloVe
 
 

@@ -197,27 +197,39 @@ class DecomposedRelAttention(nn.Module):
         f = np.arange(self.n_frames)
         dist = np.clip(f[:, None] - f[None, :], -K, K) + K
         fbias = table[:, jnp.asarray(dist)]  # (H,F,F)
-        tok_bias = fbias[:, frame_ids][:, :, frame_ids]  # (H,T,T)
 
         scale = 1.0 / jnp.sqrt(jnp.float32(dh))
-        shared = jnp.einsum("bhid,bhjd->bhij", qm, km) * scale + tok_bias[None]
-        neg = jnp.finfo(shared.dtype).min
-        shared = jnp.where(key_mask[:, None, None, :] > 0, shared, neg)
-        w = jnp.exp(shared - shared.max(-1, keepdims=True))  # (B,H,T,T)
-
-        # per-arg key reweighting: c_a[j] = (qg_a + qm_i-const parts)·km_j
+        # per-arg key reweighting: c_a[j] = qg_a·km_j (the only arg term
+        # that survives the softmax — the others are j-constant)
         c = jnp.einsum("bhad,bhjd->bhaj", qg, km) * scale  # (B,H,A,T)
         c = jnp.where(key_mask[:, None, None, :] > 0, c, 0.0)
         e = jnp.exp(c - c.max(-1, keepdims=True))  # (B,H,A,T)
 
-        ev = e[..., None] * vm[:, :, None]  # (B,H,A,T,dh)
-        numer = jnp.einsum("bhij,bhajd->bhaid", w, ev)
-        denom = jnp.einsum("bhij,bhaj->bhai", w, e)
+        use_kernel = (
+            cfgm.mm_kernel and T >= PALLAS_MIN_T and jax.default_backend() == "tpu"
+        )
+        if use_kernel:
+            # fused kernel: w never materializes in HBM
+            from vog_tpu.kernels.mm_attention import mm_shared_qk_attention
+
+            pv = mm_shared_qk_attention(
+                qm * scale, km, vm, e, key_mask, fbias, frame_ids
+            )  # (B,H,A,T,dh)
+        else:
+            tok_bias = fbias[:, frame_ids][:, :, frame_ids]  # (H,T,T)
+            shared = jnp.einsum("bhid,bhjd->bhij", qm, km) * scale + tok_bias[None]
+            neg = jnp.finfo(shared.dtype).min
+            shared = jnp.where(key_mask[:, None, None, :] > 0, shared, neg)
+            w = jnp.exp(shared - shared.max(-1, keepdims=True))  # (B,H,T,T)
+            ev = e[..., None] * vm[:, :, None]  # (B,H,A,T,dh)
+            numer = jnp.einsum("bhij,bhajd->bhaid", w, ev)
+            denom = jnp.einsum("bhij,bhaj->bhai", w, e)
+            pv = numer / jnp.maximum(denom[..., None], 1e-30)
+
         # kg enters logits only via qm_i·kg_a, constant over j -> cancels in
         # the softmax (exactly as in the materialized path); vg shifts every
         # attention output by the arg's value part since rows of P sum to 1
-        out = numer / jnp.maximum(denom[..., None], 1e-30) + vg[:, :, :, None]
-
+        out = pv + vg[:, :, :, None]
         out = out.transpose(0, 2, 3, 1, 4).reshape(B, A, T, D)
         out = nn.Dense(D, name="out")(out)
         return nn.Dropout(cfgm.dropout)(out, deterministic=deterministic)
