@@ -108,8 +108,7 @@ def assemble_batch(batch: Dict[str, jnp.ndarray], conc_type: str) -> Dict[str, j
         out["boxes"] = boxes.reshape(B * V, F * P, 5)
         out["mask"] = pmask.reshape(B * V, F * P)
         out["seg"] = seg.reshape(B * V, F, -1)
-        out["targets"] = targets.transpose(0, 1, 2, 3, 4).reshape(B, V, A, F * P)
-        out["targets"] = out["targets"].reshape(B * V, A, F * P)
+        out["targets"] = targets.reshape(B * V, A, F * P)
         for k in LANG_KEYS:
             x = batch[k]
             out[k] = jnp.repeat(x, V, axis=0)
