@@ -20,10 +20,12 @@
 #   python -m vog_tpu.dcode.cs_builder data/asrl_gt5
 set -euo pipefail
 cd "$(dirname "$0")"
+REPO_ROOT="$(cd .. && pwd)"
 
 if [[ "${1:-}" == "--synthetic" ]]; then
     P=${2:-5}
-    python -m vog_tpu.data.fixtures "$(pwd)/asrl" "$P"
+    PYTHONPATH="$REPO_ROOT:${PYTHONPATH:-}" \
+        python -m vog_tpu.data.fixtures "$(pwd)/asrl" "$P"
     echo "synthetic mini-ASRL (P=$P) written to data/asrl"
     exit 0
 fi
