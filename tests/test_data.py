@@ -140,3 +140,47 @@ def test_loader_epoch_determinism(fixture_dir):
     b2 = next(iter(data.valid_dl))
     np.testing.assert_array_equal(b1["ann_idx"], b2["ann_idx"])
     np.testing.assert_allclose(b1["props"], b2["props"])
+
+
+def test_loader_early_close_reaps_prefetch_thread(fixture_dir):
+    """Breaking out of iteration (e.g. num_eval_batches cap) must terminate
+    the prefetch worker instead of stranding it on a full queue (round-1
+    advisor finding)."""
+    import threading
+    import gc
+
+    cfg = small_cfg(fixture_dir)
+    data = get_data(cfg, global_batch_size=2)
+    before = threading.active_count()
+    for trial in range(3):
+        it = iter(data.valid_dl)
+        next(it)  # consume one batch, then abandon the generator
+        it.close()
+    gc.collect()
+    deadline = 50
+    while threading.active_count() > before and deadline > 0:
+        import time
+
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before
+
+
+def test_loader_seek_matches_full_iteration(fixture_dir):
+    """start_batch=k yields exactly the batches a full iteration produces
+    from position k (per-sample RNG is position-independent), so mid-epoch
+    resume never constructs skipped batches."""
+    cfg = small_cfg(fixture_dir)
+    data = get_data(cfg, global_batch_size=2)
+    dl = data.train_dl
+
+    dl.epoch = 5
+    full = list(dl)
+    dl.epoch = 5
+    dl.start_batch = 2
+    tail = list(dl)
+    assert len(tail) == len(full) - 2
+    for a, b in zip(full[2:], tail):
+        np.testing.assert_array_equal(a["ann_idx"], b["ann_idx"])
+        np.testing.assert_allclose(a["props"], b["props"])
+        np.testing.assert_array_equal(a["pos_vid"], b["pos_vid"])

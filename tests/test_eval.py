@@ -13,6 +13,7 @@ def _base(B=1, A=2, V=2, F=2, P=2):
         srl_arg_mask=np.ones((B, A), np.float32),
         pos_vid=np.zeros((B,), np.int32),
         batch_mask=np.ones((B,), np.float32),
+        prop_mask=np.ones((B, V, F, P), np.float32),
     )
 
 
@@ -97,6 +98,24 @@ def test_batch_mask_and_arg_mask_exclusion():
     out = _run(d)
     assert out["n_pairs"] == 1
     assert out["n_queries"] == 1
+
+
+def test_padded_proposal_never_wins_argmax():
+    """Untrained logits at masked proposals must not enter the candidate
+    set (round-1 advisor finding: argmax ran over the full (V,P) slice)."""
+    d = _base(A=1)
+    box = [0.1, 0.1, 0.5, 0.5]
+    d["gt_frame_mask"][0, 0, 0] = 1
+    d["gt_boxes"][0, 0, 0] = box
+    # correct, valid proposal with a modest score
+    d["prop_boxes"][0, 0, 0, 0, :4] = box
+    d["scores"][0, 0, 0, 0, 0] = 1.0
+    # a PADDED proposal in the wrong video carries a huge garbage logit
+    d["prop_mask"][0, 1, 0, 1] = 0.0
+    d["scores"][0, 0, 1, 0, 1] = 50.0
+    out = _run(d)
+    assert out["n_acc"] == 1 and out["n_vacc"] == 1
+    assert out["pred_vid"][0, 0, 0] == 0 and out["pred_prop"][0, 0, 0] == 0
 
 
 def test_svsq_vacc_trivially_one():

@@ -78,3 +78,35 @@ def test_rank_loss_basic(rng):
     # args without positives are ignored (no NaN)
     l3 = float(masked_rank_loss(logits, jnp.zeros_like(targets), mask))
     assert np.isfinite(l3) and l3 == 0.0
+
+
+def test_rank_loss_sep_groups_videos(rng):
+    """For conc_type=sep the V videos arrive batch-folded (B'=B·V); with
+    num_cmp=V the softmax must span all videos' candidates, so a high logit
+    in a NEGATIVE video's row must increase the loss (round-1 advisor
+    finding: per-row softmax never calibrated across videos)."""
+    from vog_tpu.model.loss import masked_rank_loss
+    import jax.numpy as jnp
+
+    B, V, A, T = 1, 2, 1, 4
+    logits = jnp.asarray(rng.normal(size=(B * V, A, T)).astype(np.float32))
+    targets = jnp.zeros((B * V, A, T)).at[0, 0, 1].set(1.0)  # positive in vid 0
+    mask = jnp.ones((B * V, A, T))
+
+    base = float(masked_rank_loss(logits, targets, mask, num_cmp=V))
+    # raise a logit in the negative video (row 1): must hurt under grouping
+    worse = float(
+        masked_rank_loss(logits.at[1, 0, 0].add(5.0), targets, mask, num_cmp=V)
+    )
+    assert worse > base
+    # ...but is invisible without grouping (the bug being regressed against):
+    # row 1 has no positive, so its softmax is skipped entirely
+    b0 = float(masked_rank_loss(logits, targets, mask))
+    b1 = float(masked_rank_loss(logits.at[1, 0, 0].add(5.0), targets, mask))
+    assert abs(b0 - b1) < 1e-7
+
+    # grouped == manual (B, A, V*T) computation
+    re = logits.reshape(1, V, A, T).transpose(0, 2, 1, 3).reshape(1, A, V * T)
+    rt = targets.reshape(1, V, A, T).transpose(0, 2, 1, 3).reshape(1, A, V * T)
+    manual = float(masked_rank_loss(re, rt, jnp.ones_like(re)))
+    assert abs(base - manual) < 1e-6

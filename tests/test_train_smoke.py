@@ -99,6 +99,27 @@ def test_mid_epoch_resume_skips_batches(fixture_dir, tmp_path):
     assert lrn2.batch_in_epoch == 0  # reset at epoch end
 
 
+def test_cosine_schedule_derives_total_steps(fixture_dir, tmp_path):
+    """With lr_schedule=cosine and total_steps=0 the Learner must derive
+    the horizon from the data (round-1 advisor finding: LR collapsed to ~0
+    right after warmup because decay_steps fell back to warmup_steps+1)."""
+    lrn, data, cfg = _learner(
+        fixture_dir,
+        tmp_path,
+        "cos",
+        **{"train.epochs": 4, "train.lr_schedule": "cosine", "train.warmup_steps": 2},
+    )
+    assert cfg.train.total_steps == 4 * len(data.train_dl)
+    assert cfg.train.total_steps > cfg.train.warmup_steps + 1
+    # the schedule at step warmup+1 must still be near peak LR, not ~0
+    import optax
+
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.train.lr, cfg.train.warmup_steps, cfg.train.total_steps
+    )
+    assert float(sched(cfg.train.warmup_steps + 1)) > 0.5 * cfg.train.lr
+
+
 def test_rank_loss_training_runs(fixture_dir, tmp_path):
     """loss_type=rank (SEP cross-video ranking) trains without NaNs."""
     lrn, data, cfg = _learner(

@@ -49,6 +49,11 @@ class BatchIterator:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        # seekable iterator state: the next __iter__ starts at this batch
+        # (mid-epoch resume skips consumed batches WITHOUT constructing
+        # them — per-sample RNG is keyed on (seed, epoch, sample idx), not
+        # on a sequential stream, so skipping preserves determinism)
+        self.start_batch = 0
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -62,8 +67,13 @@ class BatchIterator:
         nb = len(self)
         return [idxs[i * self.bs : (i + 1) * self.bs] for i in range(nb)]
 
-    def _make_batch(self, batch_idxs: np.ndarray, rng) -> Dict[str, np.ndarray]:
-        samples = [self.ds.__getitem__(int(i), rng) for i in batch_idxs]
+    def _make_batch(self, batch_idxs: np.ndarray, epoch: int) -> Dict[str, np.ndarray]:
+        samples = [
+            self.ds.__getitem__(
+                int(i), np.random.default_rng([self.seed, epoch, int(i)])
+            )
+            for i in batch_idxs
+        ]
         if len(samples) < self.bs:  # pad final eval batch to static shape
             pad = [samples[-1]] * (self.bs - len(samples))
             batch = collate(samples + pad)
@@ -78,34 +88,59 @@ class BatchIterator:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         epoch = self.epoch
         self.epoch += 1
-        rng = np.random.default_rng(self.seed * 104_729 + epoch)
-        batches = self._index_batches(epoch)
+        start = self.start_batch
+        self.start_batch = 0
+        batches = self._index_batches(epoch)[start:]
         if self.prefetch <= 0:
             for b in batches:
-                yield self._make_batch(b, rng)
+                yield self._make_batch(b, epoch)
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
         failure: List[BaseException] = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up once the consumer is gone, so an
+            # early generator close can't strand the worker on q.put
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.05)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in batches:
-                    q.put(self._make_batch(b, rng))
+                    if stop.is_set() or not _put(self._make_batch(b, epoch)):
+                        return
             except BaseException as e:  # propagate to the consumer
                 failure.append(e)
             finally:
-                q.put(SENTINEL)
+                _put(SENTINEL)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                yield item
+        finally:
+            # runs on normal exhaustion AND on early close (break /
+            # GeneratorExit): signal the worker, drain anything queued,
+            # and reap the thread
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=30.0)
         if failure:
             raise failure[0]
 

@@ -61,12 +61,17 @@ def evaluate_batch(
     srl_arg_mask: jnp.ndarray,  # (B,A)
     pos_vid: jnp.ndarray,  # (B,)
     batch_mask: jnp.ndarray,  # (B,)
+    prop_mask: jnp.ndarray,  # (B,V,F,P) valid-proposal mask
 ) -> Dict[str, jnp.ndarray]:
     """-> dict of scalar sums + per-pair prediction arrays."""
     B, A, V, F, P = scores.shape
     considered = (
         gt_frame_mask * srl_arg_mask[:, :, None] * batch_mask[:, None, None]
     )  # (B,A,F)
+
+    # padded proposals/frames carry untrained logits (loss and attention
+    # both mask them) — exclude them from the candidate set before argmax
+    scores = jnp.where(prop_mask[:, None] > 0, scores, -1e30)
 
     # argmax over the (V,P) candidate slice per (b,a,f)
     cand = scores.transpose(0, 1, 3, 2, 4).reshape(B, A, F, V * P)

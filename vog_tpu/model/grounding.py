@@ -201,9 +201,14 @@ def compute_loss(
     pos_weight: float = 1.0,
     loss_type: str = "bce",
     rank_weight: float = 1.0,
+    rank_num_cmp: int = 1,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Masked BCE (reference LossB) + optional listwise ranking term
-    ("rank" adds it; "bce" is the plain reference loss)."""
+    ("rank" adds it; "bce" is the plain reference loss).
+
+    ``rank_num_cmp``: for conc_type=sep pass V (videos/group) so the rank
+    term re-joins the group's batch-folded rows and normalizes across all
+    videos' candidates; 1 elsewhere (TEMP/SPAT span videos along T)."""
     mask = (
         clip["srl_arg_mask"][:, :, None]
         * clip["mask"][:, None, :]
@@ -211,5 +216,7 @@ def compute_loss(
     )
     loss = masked_bce_loss(logits, clip["targets"], mask, pos_weight)
     if loss_type == "rank":
-        loss = loss + rank_weight * masked_rank_loss(logits, clip["targets"], mask)
+        loss = loss + rank_weight * masked_rank_loss(
+            logits, clip["targets"], mask, rank_num_cmp
+        )
     return loss, {"loss": loss}

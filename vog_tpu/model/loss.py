@@ -34,19 +34,37 @@ def masked_bce_loss(
 
 
 def masked_rank_loss(
-    logits: jnp.ndarray, targets: jnp.ndarray, mask: jnp.ndarray
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_cmp: int = 1,
 ) -> jnp.ndarray:
     """Listwise ranking loss over each arg's candidate axis.
 
     Reference parity: the SEP strategy "ranks proposals across the 4 score
     sets" (SURVEY §2 SVSQ/SEP row; cross-video ranking normalization
-    [C-MED]).  Implemented as softmax cross-entropy over the proposal axis
+    [C-MED]).  Implemented as softmax cross-entropy over the candidate axis
     with the IoU>=0.5 positives as a normalized soft target — pushes the
     positive video's matching proposals above ALL other videos' candidates
     instead of scoring each independently.
 
-    logits/targets/mask: (B, A, T); args with no positive are skipped.
+    logits/targets/mask: (B', A, T).  For conc_type=sep the V videos of a
+    group arrive folded into the batch axis (B'=B·V, T=F·P); pass
+    ``num_cmp=V`` so the group's rows are re-joined to (B, A, V·T) before
+    the softmax — otherwise normalization stays within one video and the
+    cross-video calibration never happens (TEMP/SPAT already span all
+    videos along T).
     """
+    if num_cmp > 1:
+        Bp, A, T = logits.shape
+        B = Bp // num_cmp
+
+        def regroup(x):
+            return x.reshape(B, num_cmp, A, T).transpose(0, 2, 1, 3).reshape(
+                B, A, num_cmp * T
+            )
+
+        logits, targets, mask = regroup(logits), regroup(targets), regroup(mask)
     neg = -1e30
     masked_logits = jnp.where(mask > 0, logits, neg)
     logp = jax.nn.log_softmax(masked_logits, axis=-1)  # (B,A,T)

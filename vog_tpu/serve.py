@@ -38,6 +38,8 @@ class Predictor:
             logits = self.model.apply({"params": params}, clip, deterministic=True)
             B, V, F, P = batch["prop_mask"].shape
             scores = scores_to_canonical(logits, conc, B, V, F, P)  # (B,A,V,F,P)
+            # padded proposals carry untrained logits — never let them win
+            scores = jnp.where(batch["prop_mask"][:, None] > 0, scores, -1e30)
             cand = scores.transpose(0, 1, 3, 2, 4).reshape(B, scores.shape[1], F, V * P)
             choice = jnp.argmax(cand, axis=-1)  # (B,A,F)
             v_hat, p_hat = choice // P, choice % P

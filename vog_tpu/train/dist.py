@@ -12,7 +12,7 @@ to size 1 for parity-scale runs).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -78,6 +78,12 @@ class Learner:
         n_data = self.mesh.shape["data"]
         self.global_bs = cfg.train.bs * n_data
 
+        # cosine schedule needs the true horizon; cfg default total_steps=0
+        # means "derive from the data" (otherwise LR collapses to ~0 right
+        # after warmup because decay_steps falls back to warmup_steps+1)
+        if cfg.train.lr_schedule == "cosine" and cfg.train.total_steps == 0:
+            cfg.train.total_steps = cfg.train.epochs * len(data.train_dl)
+
         state = init_state(cfg, glove, rng, self.global_bs)
         shardings = param_shardings(self.mesh, state.params)
         params = jax.device_put(state.params, shardings)
@@ -186,17 +192,17 @@ class Learner:
         smooth = SmoothenValue()
         metrics: Dict = {}
         # replay determinism across resume: iterator epoch follows ours,
-        # and a mid-epoch resume fast-forwards (batches are constructed
-        # and discarded so the sampling RNG stream stays aligned)
+        # and a mid-epoch resume seeks past consumed batches without
+        # constructing them (per-sample RNG is keyed on (seed, epoch,
+        # sample idx), so the sampling stream is position-independent)
         self.data.train_dl.epoch = self.epoch
         skip = self.batch_in_epoch
         for _ in range(epochs):
             t0 = time.time()
             n_seen = 0
             profiling = False
-            for i, batch in enumerate(self.data.train_dl):
-                if i < skip:
-                    continue
+            self.data.train_dl.start_batch = skip
+            for i, batch in enumerate(self.data.train_dl, start=skip):
                 self.batch_in_epoch = i + 1
                 if cfg.misc.profile_dir and i == 1:  # skip compile step
                     jax.profiler.start_trace(cfg.misc.profile_dir)
@@ -255,6 +261,11 @@ class Learner:
         sums["n_batch"] = 0.0
         preds = []
         max_b = self.cfg.train.num_eval_batches
+        if max_b and len(dl) > max_b:
+            self.log(
+                f"eval[{split}] TRUNCATED to {max_b}/{len(dl)} batches "
+                f"(train.num_eval_batches) — metrics are partial"
+            )
         for i, batch in enumerate(dl):
             if max_b and i >= max_b:
                 break

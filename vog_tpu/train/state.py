@@ -114,6 +114,7 @@ def make_train_step(cfg: Cfg) -> Callable:
             loss, aux = compute_loss(
                 logits, clip, cfg.train.pos_weight,
                 cfg.train.loss_type, cfg.train.rank_weight,
+                rank_num_cmp=cfg.ds.num_cmp if conc == "sep" else 1,
             )
             return loss, aux
 
@@ -142,6 +143,7 @@ def make_eval_step(cfg: Cfg) -> Callable:
             batch["srl_arg_mask"],
             batch["pos_vid"],
             batch["batch_mask"],
+            batch["prop_mask"],
         )
         nb = jnp.maximum(batch["batch_mask"].sum(), 1.0)
         out["loss_sum"] = loss * nb  # batch-mean loss weighted for aggregation
