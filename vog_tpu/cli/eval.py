@@ -1,9 +1,14 @@
 """Eval-only entry point (reference ``--only_val`` path of main_dist.py).
 
   python -m vog_tpu.cli.eval <uid> [--split=valid|test] [overrides...]
+  python -m vog_tpu.cli.eval <uid> --pred_file=tmp/predictions/...pkl \
+      [--split=valid] [overrides...]
 
-Loads the uid's last checkpoint when present, scores the split, writes the
-predictions pickle, prints the metric dict.
+First form loads the uid's last checkpoint when present, scores the split,
+writes the predictions pickle, prints the metric dict.  Second form
+re-scores a saved predictions file offline (reference
+``eval_fn_corr.py §eval_fun(predictions_file, split)``) — no model, no
+checkpoint, no device step.
 """
 
 from __future__ import annotations
@@ -25,11 +30,19 @@ from vog_tpu.train import Learner, make_mesh
 def main(argv=None):
     uid, overrides, flags = parse_argv(argv if argv is not None else sys.argv[1:])
     split = overrides.pop("split", "valid")
+    pred_file = overrides.pop("pred_file", None)
     yml = overrides.pop("cfg", None)
     cfg = get_default_cfg(yml)
     update_from_dict(cfg, overrides)
     post_proc_config(cfg)
     apply_matmul_precision(cfg)
+
+    if pred_file:
+        from vog_tpu.evaluation import eval_fun
+
+        m = eval_fun(pred_file, split, cfg)
+        print(f"rescored {pred_file} [{split}]: {m}")
+        return m
 
     mesh = make_mesh(cfg)
     data = get_data(cfg, global_batch_size=cfg.train.bs * mesh.shape["data"])

@@ -116,6 +116,11 @@ def evaluate_batch(
         "pred_prop": p_hat,
         "pred_iou": iou,
         "considered": considered,
+        # masked candidate grid (B,A,F,V*P) — persisted per considered
+        # pair so saved predictions can be re-scored offline by
+        # ``vog_tpu.evaluation.offline.eval_fun`` (reference
+        # ``eval_fn_corr.py §eval_fun(predictions_file, split)``)
+        "cand_scores": cand,
     }
 
 

@@ -282,16 +282,28 @@ class Learner:
             pv = np.asarray(out["pred_vid"])
             pp = np.asarray(out["pred_prop"])
             pi = np.asarray(out["pred_iou"])
+            cand = np.asarray(out["cand_scores"])  # (B,A,F,V*P)
+            pos_vid = np.asarray(batch["pos_vid"])
+            n_props = int(batch["prop_mask"].shape[-1])
             for b in range(len(ann_idx)):
                 if bm[b] == 0:
                     continue
                 sel = considered[b] > 0
+                ai, fi = np.nonzero(sel)  # pair order matches the flat sel
                 preds.append(
                     {
                         "ann_idx": int(ann_idx[b]),
                         "pred_vid": pv[b][sel].tolist(),
                         "pred_prop": pp[b][sel].tolist(),
                         "iou": pi[b][sel].tolist(),
+                        # offline re-scoring payload (evaluation/offline.py):
+                        # per-pair (arg, frame) indices + the masked (V*P)
+                        # candidate score slice, and the group's positive slot
+                        "arg_idx": ai.tolist(),
+                        "frame_idx": fi.tolist(),
+                        "scores": cand[b, ai, fi].tolist(),
+                        "pos_vid": int(pos_vid[b]),
+                        "num_props": n_props,
                     }
                 )
         pred_file = (
