@@ -66,6 +66,10 @@ class MdlCfg:
     # fused = reference-style cross-product MLP head; dot = factorized
     # bilinear head, much cheaper, different capacity (opt-in)
     head_type: str = "fused"
+    # fused grounding-head Pallas kernel (TPU): streams the (B,A,T,D)
+    # fusion intermediates through VMEM instead of HBM — same math as the
+    # XLA path (parity: tests/test_head_kernel.py)
+    head_kernel: bool = True
     # fused shared-QK multi-arg Pallas kernel for the decomposed mm layer:
     # keeps the (B,H,T,T) weights out of HBM entirely (use when batch x T^2
     # memory is the binding constraint).  Measured ~4% slower than the

@@ -48,22 +48,50 @@ class GroundingHead(nn.Module):
     Reference: the ``do_cross``-style fusion + scoring MLP in the model
     files (SURVEY §2 ImgGrnd row) [C-MED exact fusion].  Fusion used here:
     h = relu(W_v vis + W_l arg + W_x (vis ⊙ arg)); logit = MLP(h).
+
+    On TPU the whole fusion runs as one Pallas kernel
+    (``kernels/grounding_head.py``) so the (B,A,T,D) intermediates never
+    hit HBM (they were 9.2 ms of the 17 ms GT5 step); ``mdl.head_kernel``
+    gates it, and non-TPU backends / unaligned dims fall back to the
+    identical XLA math below.
     """
 
     cfg: Cfg
+    use_kernel: bool = False
 
     @nn.compact
     def __call__(self, vis: jnp.ndarray, arg: jnp.ndarray) -> jnp.ndarray:
         # vis (B,T,D); arg (B,A,D) -> logits (B,A,T)
+        from vog_tpu.kernels.grounding_head import (
+            fused_grounding_head,
+            head_kernel_supported,
+        )
+
         D = self.cfg.mdl.vis_dim
-        wv = nn.Dense(D, name="fuse_vis")(vis)  # (B,T,D)
-        wl = nn.Dense(D, use_bias=False, name="fuse_lang")(arg)  # (B,A,D)
+        Dh = D // 2
+        din = vis.shape[-1]
+        kinit = nn.initializers.lecun_normal()
+        zinit = nn.initializers.zeros
+        # params mirror the previous nn.Dense stack (same shapes + init)
+        wv_k = self.param("fuse_vis_kernel", kinit, (din, D))
+        wv_b = self.param("fuse_vis_bias", zinit, (D,))
+        wl_k = self.param("fuse_lang_kernel", kinit, (din, D))
+        wx_k = self.param("fuse_cross_kernel", kinit, (din, D))
+        w1_k = self.param("head1_kernel", kinit, (D, Dh))
+        w1_b = self.param("head1_bias", zinit, (Dh,))
+        w2_k = self.param("head2_kernel", kinit, (Dh, 1))
+        w2_b = self.param("head2_bias", zinit, (1,))
+
+        wv = vis @ wv_k + wv_b  # (B,T,D)
+        wl = arg @ wl_k  # (B,A,D)
+        if self.use_kernel and head_kernel_supported(din, D, vis.shape[1]):
+            return fused_grounding_head(
+                vis, arg, wv, wl, wx_k, w1_k, w1_b, w2_k[:, 0], w2_b[0]
+            )
         cross = jnp.einsum("btd,bad->batd", vis, arg)  # (B,A,T,D)
-        wx = nn.Dense(D, use_bias=False, name="fuse_cross")(cross)
-        h = nn.relu(wv[:, None] + wl[:, :, None] + wx)
-        h = nn.Dense(D // 2, name="head1")(h)
-        h = nn.relu(h)
-        return nn.Dense(1, name="head2")(h)[..., 0]
+        h = nn.relu(wv[:, None] + wl[:, :, None] + cross @ wx_k)
+        h1 = nn.relu(h @ w1_k + w1_b)
+        return (h1 @ w2_k)[..., 0] + w2_b[0]
 
 
 class DotGroundingHead(nn.Module):
@@ -103,8 +131,16 @@ class ImgGrnd(nn.Module):
         if self.cfg.mdl.head_type == "dot":
             self.head = DotGroundingHead(self.cfg)
         else:
-            head_cls = nn.remat(GroundingHead) if self.remat_head else GroundingHead
-            self.head = head_cls(self.cfg)
+            import jax
+
+            use_kernel = (
+                self.cfg.mdl.head_kernel and jax.default_backend() == "tpu"
+            )
+            # the Pallas kernel recomputes its tiles internally, so remat
+            # (which exists to drop the (B,A,T,D) residuals) is redundant
+            remat = self.remat_head and not use_kernel
+            head_cls = nn.remat(GroundingHead) if remat else GroundingHead
+            self.head = head_cls(self.cfg, use_kernel=use_kernel)
 
     def encode(self, clip: Dict, deterministic: bool):
         lang = self.lang(
