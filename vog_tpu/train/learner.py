@@ -306,6 +306,12 @@ class Learner:
                         "num_props": n_props,
                     }
                 )
+        if self.cfg.misc.multihost and jax.process_count() > 1:
+            # reference parity: DDP's rank-gather of metric dicts +
+            # prediction pickles (SURVEY §3.2) — here over DCN
+            from vog_tpu.train.multihost import gather_eval
+
+            sums, preds = gather_eval(sums, preds)
         pred_file = (
             self.dirs["predictions"] / f"{self.uid}_{split}_{self.epoch}.pkl"
         )
