@@ -70,11 +70,13 @@ class MdlCfg:
     # fusion intermediates through VMEM instead of HBM — same math as the
     # XLA path (parity: tests/test_head_kernel.py)
     head_kernel: bool = True
-    # fused shared-QK multi-arg Pallas kernel for the decomposed mm layer:
-    # keeps the (B,H,T,T) weights out of HBM entirely (use when batch x T^2
-    # memory is the binding constraint).  Measured ~4% slower than the
-    # XLA path at P100 B=2, so speed-wise the default stays off.
-    mm_kernel: bool = False
+    # fused shared-QK multi-arg Pallas kernel for the decomposed mm layer
+    # (flash-style online softmax + batched A value streams; backward
+    # emits ds tiles so dq/dfb run as XLA GEMMs).  Measured in-model at
+    # P100 B=2 fp32-highest: 81.1 ms/step vs 84.3 XLA materialized — and
+    # the (B,H,T,T) weights + (B,H,A,T,dh) value streams never hit HBM in
+    # the forward, so T is unbounded and batch headroom grows.
+    mm_kernel: bool = True
     train_embeddings: bool = False  # fine-tune GloVe
 
 

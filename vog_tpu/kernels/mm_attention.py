@@ -5,18 +5,41 @@ The arg-decomposed first multimodal layer (see
 
   out_a = [w @ (e_a ∘ vm)] / [w @ e_a],   w = exp(qm km^T + bias - m)
 
-The XLA implementation materializes w (B,H,T,T) in HBM (~536MB at P100
-B=2) — measured as the top cost of the P100 step.  This kernel keeps w in
-VMEM blocks: the shared scores are computed once per q-block and the A=5
-per-arg outputs come from a static loop, so the (T,T) tensor never hits
-HBM.  The relative-frame bias uses the same factored per-column form
-(fbc = fb[:, :, frame_ids]) and frame-pure fast path as
-``kernels/attention.py``, and the backward recomputes w tiles from the
-saved row-max (softmax shift-invariance makes treating the max as a
-constant exact) and the saved per-arg denominators.
+The XLA implementation materializes w (B,H,T,T) and the per-arg value
+streams e∘vm (B,H,A,T,dh) in HBM (~27 ms of the 80 ms P100 step in the
+round-1 profile).  This kernel is a flash-style rewrite:
 
+  * **Online softmax over k-tiles** — running row max + rescaling, so the
+    whole key axis never needs to sit in VMEM and T is unbounded.
+  * **Batched A value streams** (round-1 backlog item): per k-tile the A
+    per-arg streams e_a ∘ vm stack into ONE (bk, A·dh) wide matrix, so the
+    value contraction is a single (bq, bk) @ (bk, A·dh) MXU matmul instead
+    of A small ones (the reason the round-1 kernel lost to XLA by 4%).
+    The backward batches the same way: the per-arg g @ vm^T products run
+    as one (A·bq, dh) @ (dh, bk) GEMM, and dv as one
+    (bk, A·bq) @ (A·bq, dh).
+  * e, den, delta travel TRANSPOSED as (BH, T, A) so per-arg columns are
+    natural (rows, 1) sublane tiles (Mosaic cannot reshape lanes into
+    sublanes).
+  * The relative-frame bias uses the same factored per-key-column form
+    (fbc = fb[:, :, frame_ids]) and frame-pure fast path as
+    ``kernels/attention.py``; the backward recomputes w tiles from the
+    saved row max (softmax shift invariance makes treating the max as a
+    constant exact) and the saved per-arg denominators.
+  * The backward is ONE kernel (dk/dv/de) that also EMITS the score-grad
+    tiles ds; dq (= ds @ km) and the frame-bias grad (= onehot^T ds
+    onehot) then run as plain XLA GEMMs.  A second kernel recomputing
+    w/gv per tile was measured 31% slower at fp32-highest — at 6-pass
+    matmul precision, recompute costs ~6x more than the (T,T) HBM
+    round-trip it avoids.  (Pallas cannot express the single-pass merge:
+    output blocks must not be revisited non-consecutively.)
+
+Measured (TPU v5e, P100 shapes B=2 H=4 A=5 T=4000, fp32-highest):
+isolated op fwd+bwd 28.98 ms vs 28.73 XLA materialized; in-model P100
+step 81.1 ms vs 84.3 — and fwd HBM drops by the ~700 MB w/ev tensors.
 Verified against the XLA math in tests/test_mm_attention.py (interpret
-mode, fwd + all grads).  Wired behind ``mdl.mm_kernel`` (TPU only).
+mode, fwd + all grads) and on-chip (maxdiff ≤ 7e-7 all grads).  Default
+ON for TPU + T >= PALLAS_MIN_T (``mdl.mm_kernel``).
 """
 
 from __future__ import annotations
@@ -48,28 +71,53 @@ def _dot(a, b, contract=((1,), (1,))):
 
 
 # --------------------------------------------------------------------------
-# forward: grid (BH, nq); k/v/e full in VMEM (T <= ~4096)
+# forward: grid (BH, nq, nk) — online softmax, k innermost
 # --------------------------------------------------------------------------
-def _fwd_kernel(qm_ref, km_ref, vm_ref, e_ref, mask_ref, fbc_ref, fid_ref,
-                o_ref, mrow_ref, den_ref, *, n_args, n_frames, bq):
+def _fwd_kernel(qm_ref, km_ref, vm_ref, et_ref, mask_ref, fbc_ref, fid_ref,
+                o_ref, mrow_ref, den_ref, num_acc, den_acc, m_run,
+                *, n_args, n_frames, bq, bk, nk):
     qi = pl.program_id(1)
-    qb = qm_ref[0]  # (bq, dh)
-    kb = km_ref[0]  # (T, dh)
-    Tp = kb.shape[0]
-    s = _dot(qb, kb)  # (bq, T); caller pre-scales qm
-    s = s + _bias_block(fbc_ref, fid_ref, qi, bq, 0, Tp, n_frames)
-    mask = mask_ref[0, 0]
-    s = jnp.where(mask[None, :] > 0, s, NEG)
-    m = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
-    w = jnp.exp(s - m)
-    mrow_ref[0] = m
-    for a in range(n_args):
-        ea = e_ref[0, a]  # (T,)
-        we = w * ea[None, :]
-        numer = _dot(we, vm_ref[0], contract=((1,), (0,)))  # (bq, dh)
-        den = jnp.sum(we, axis=-1, keepdims=True)  # (bq, 1)
-        o_ref[0, a] = numer / jnp.maximum(den, 1e-30)
-        den_ref[0, a] = den
+    ki = pl.program_id(2)
+    A = n_args
+
+    @pl.when(ki == 0)
+    def _():
+        num_acc[:] = jnp.zeros_like(num_acc[:])
+        den_acc[:] = jnp.zeros_like(den_acc[:])
+        m_run[:] = jnp.full_like(m_run[:], NEG)
+
+    qb = qm_ref[0]  # (bq, dh) — caller pre-scales qm
+    kb = km_ref[0]  # (bk, dh)
+    vb = vm_ref[0]  # (bk, dh)
+    et = et_ref[0]  # (bk, A)
+    dh = qb.shape[-1]
+
+    s = _dot(qb, kb)  # (bq, bk)
+    s = s + _bias_block(fbc_ref, fid_ref, qi, bq, 0, bk, n_frames)
+    mask_k = mask_ref[0, 0]  # (bk,)
+    s = jnp.where(mask_k[None, :] > 0, s, NEG)
+
+    m_prev = m_run[:]  # (bq, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
+    p = jnp.exp(s - m_new)  # (bq, bk)
+
+    # wide value matrix: column block a = e_a ∘ vm  -> one MXU matmul
+    vwide = jnp.concatenate(
+        [vb * et[:, a : a + 1] for a in range(A)], axis=1
+    )  # (bk, A*dh)
+    num_acc[:] = num_acc[:] * alpha + _dot(p, vwide, contract=((1,), (0,)))
+    den_acc[:] = den_acc[:] * alpha + _dot(p, et, contract=((1,), (0,)))
+    m_run[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _():
+        mrow_ref[0] = m_run[:]
+        den_ref[0] = den_acc[:]
+        for a in range(A):
+            o_ref[0, a] = num_acc[:, a * dh : (a + 1) * dh] / jnp.maximum(
+                den_acc[:, a : a + 1], 1e-30
+            )
 
 
 # --------------------------------------------------------------------------
@@ -81,55 +129,34 @@ def _tile_w(qm_blk, km_blk, bias_t, mask_k, m_blk):
     return jnp.exp(s - m_blk)  # (bq, bk)
 
 
-def _bwd_dq_kernel(qm_ref, km_ref, vm_ref, e_ref, mask_ref, fbc_ref, fid_ref,
-                   g_ref, m_ref, den_ref, delta_ref,
-                   dq_ref, dfb_ref, *, n_args, n_frames, blk):
-    # grid (BH, nq, nk); j innermost: dq accumulates over j, dfb over all
-    qi = pl.program_id(1)
-    j = pl.program_id(2)
-    mask_k = mask_ref[0, 0, pl.ds(j * blk, blk)]
-    bias_t = _bias_block(fbc_ref, fid_ref, qi, blk, j * blk, blk, n_frames)
-    w = _tile_w(qm_ref[0], km_ref[0], bias_t, mask_k, m_ref[0])
-    ds = jnp.zeros_like(w)
-    for a in range(n_args):
-        gv = _dot(g_ref[0, a], vm_ref[0])  # (bq, bk) = g_a @ vm_blk^T
-        pa = w * e_ref[0, a][None, :] / jnp.maximum(den_ref[0, a], 1e-30)
-        ds = ds + pa * (gv - delta_ref[0, a])
-    ds = jnp.where(mask_k[None, :] > 0, ds, 0.0)
+def _gv_stack(g_blk, vm_blk, A, bq):
+    """All A per-arg g_a @ vm^T products as one batched GEMM.
 
-    @pl.when(j == 0)
-    def _():
-        dq_ref[0] = jnp.zeros_like(dq_ref[0])
-
-    dq_ref[0] += _dot(ds, km_ref[0], contract=((1,), (0,)))
-
-    # frame-bias grad (same accumulation as kernels/attention.py)
-    F = n_frames
-    f_range = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
-    fq = fid_ref[pl.ds(qi * blk, blk), 0]
-    fk = fid_ref[pl.ds(j * blk, blk), 0]
-    oq = (fq[:, None] == f_range).astype(jnp.float32)
-    okb = (fk[:, None] == f_range).astype(jnp.float32)
-
-    @pl.when((qi == 0) & (j == 0))
-    def _():
-        dfb_ref[0] = jnp.zeros_like(dfb_ref[0])
-
-    dfb_ref[0] += jnp.dot(
-        _dot(oq, ds, contract=((0,), (0,))), okb,
-        preferred_element_type=jnp.float32, precision=_precision(),
-    )
+    g_blk (A, bq, dh) -> (A*bq, dh); result (A*bq, bk)."""
+    dh = g_blk.shape[-1]
+    gf = g_blk.reshape(A * bq, dh)
+    return _dot(gf, vm_blk)  # (A*bq, bk)
 
 
-def _bwd_dkv_kernel(qm_ref, km_ref, vm_ref, e_ref, mask_ref, fbc_ref, fid_ref,
-                    g_ref, m_ref, den_ref, delta_ref,
-                    dk_ref, dv_ref, de_ref, *, n_args, n_frames, blk):
-    # grid (BH, nk, nq); i innermost: dk/dv/de accumulate over i
+def _bwd_dkv_kernel(qm_ref, km_ref, vm_ref, e_ref, et_ref, mask_ref, fbc_ref,
+                    fid_ref, g_ref, m_ref, den_ref, delta_ref,
+                    dk_ref, dv_ref, de_ref, ds_ref, *, n_args, n_frames, blk):
+    # grid (BH, nk, nq); i innermost: dk/dv/de accumulate over i.
+    # The score grad ds is ALSO emitted per tile: dq (= ds @ km) and the
+    # frame-bias grad (= onehot_f^T ds onehot_f) then run as plain XLA
+    # GEMMs on the host side — this deletes the whole second bwd kernel,
+    # whose per-tile w/gv recompute (~1/3 of the backward FLOPs at
+    # fp32-highest) outweighed the (T,T) HBM round-trip it avoided.
     j = pl.program_id(1)
     i = pl.program_id(2)
+    A = n_args
     mask_k = mask_ref[0, 0, pl.ds(j * blk, blk)]
     bias_t = _bias_block(fbc_ref, fid_ref, i, blk, j * blk, blk, n_frames)
     w = _tile_w(qm_ref[0], km_ref[0], bias_t, mask_k, m_ref[0])
+    gv = _gv_stack(g_ref[0], vm_ref[0], A, blk)  # (A*bq, bk)
+    e_rows = e_ref[0]  # (A, bk)
+    den = den_ref[0]  # (bq, A)
+    delta = delta_ref[0]  # (bq, A)
 
     @pl.when(i == 0)
     def _():
@@ -137,17 +164,32 @@ def _bwd_dkv_kernel(qm_ref, km_ref, vm_ref, e_ref, mask_ref, fbc_ref, fid_ref,
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
         de_ref[0] = jnp.zeros_like(de_ref[0])
 
-    ds = jnp.zeros_like(w)
-    for a in range(n_args):
-        inv_d = 1.0 / jnp.maximum(den_ref[0, a], 1e-30)  # (bq,1)
-        gv = _dot(g_ref[0, a], vm_ref[0])  # (bq, bk)
-        pa = w * e_ref[0, a][None, :] * inv_d
-        term = gv - delta_ref[0, a]
-        ds = ds + pa * term
-        dv_ref[0] += _dot(pa, g_ref[0, a], contract=((0,), (0,)))  # (bk, dh)
-        de_ref[0, a] += jnp.sum(w * inv_d * term, axis=0)  # (bk,)
+    comb = jnp.zeros_like(w)
+    gs = []
+    for a in range(A):
+        inv_d = 1.0 / jnp.maximum(den[:, a : a + 1], 1e-30)  # (bq, 1)
+        term = gv[a * blk : (a + 1) * blk] - delta[:, a : a + 1]  # (bq, bk)
+        wd = w * inv_d
+        comb = comb + (term * inv_d) * e_rows[a][None, :]
+        gs.append(g_ref[0, a] * inv_d)  # inv_d-scaled grad stream (bq, dh)
+        de_ref[0, a] += jnp.sum(wd * term, axis=0)  # (bk,)
+    ds = w * comb
     ds = jnp.where(mask_k[None, :] > 0, ds, 0.0)
+
+    # dv = Σ_a p_a^T g_a = Σ_a e_a ∘ (w^T (inv_d_a ∘ g_a)): batch the A
+    # scaled streams along columns -> ONE (bk, bq) @ (bq, A·dh) GEMM, then
+    # per-arg key-side e scaling on the outputs (VPU)
+    gs_wide = jnp.concatenate(gs, axis=1)  # (bq, A*dh)
+    u_wide = _dot(w, gs_wide, contract=((0,), (0,)))  # (bk, A*dh)
+    dh = gs[0].shape[-1]
+    et = et_ref[0]  # (bk, A) — e as sublane columns for the row scaling
+    dv_acc = jnp.zeros_like(dv_ref[0])
+    for a in range(A):
+        dv_acc = dv_acc + u_wide[:, a * dh : (a + 1) * dh] * et[:, a : a + 1]
+    dv_ref[0] += dv_acc
     dk_ref[0] += _dot(ds, qm_ref[0], contract=((0,), (0,)))
+    # DS layout is (BH, Tq, Tk); the out index_map swaps (j, i) -> (i, j)
+    ds_ref[0] = ds
 
 
 # --------------------------------------------------------------------------
@@ -168,43 +210,55 @@ def _prep(qm, km, vm, e, key_mask, frame_bias, frame_ids):
         )
 
     qf, kf, vf = padtd(qm), padtd(km), padtd(vm)
-    ef = jnp.pad(e, ((0, 0), (0, 0), (0, 0), (0, Tp - T))).reshape(BH, A, Tp)
+    # e transposed to (BH, Tp, A): per-arg columns are natural sublane tiles
+    et = jnp.pad(e, ((0, 0), (0, 0), (0, 0), (0, Tp - T))).reshape(
+        BH, A, Tp
+    ).transpose(0, 2, 1)
     mk = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, Tp - T)))[:, None, :]
     fid_flat = jnp.pad(frame_ids.astype(jnp.int32), (0, Tp - T), mode="edge")
     fid = fid_flat[:, None]
     fbc = frame_bias.astype(jnp.float32)[:, :, fid_flat]  # (H, F, Tp)
-    return qf, kf, vf, ef, mk, fbc, fid, (B, H, A, T, dh, Tp, dp, blk, Fn)
+    return qf, kf, vf, et, mk, fbc, fid, (B, H, A, T, dh, Tp, dp, blk, Fn)
 
 
-def _fwd(qf, kf, vf, ef, mk, fbc, fid, dims, interpret):
+def _fwd(qf, kf, vf, et, mk, fbc, fid, dims, interpret):
     B, H, A, T, dh, Tp, dp, blk, Fn = dims
     BH = B * H
-    bq = 64  # full-key fwd: small q block (VMEM headroom at T=4096)
-    grid = (BH, Tp // bq)
+    bq = bk = blk
+    nk = Tp // bk
+    grid = (BH, Tp // bq, nk)
+    V = pltpu.VMEM
     out, mrow, den = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_args=A, n_frames=Fn, bq=bq),
+        functools.partial(
+            _fwd_kernel, n_args=A, n_frames=Fn, bq=bq, bk=bk, nk=nk
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, Tp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tp), lambda b, i: (b // H, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fn, Tp), lambda b, i: (b % H, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tp, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, dp), lambda b, i, k: (b, i, 0), memory_space=V),
+            pl.BlockSpec((1, bk, dp), lambda b, i, k: (b, k, 0), memory_space=V),
+            pl.BlockSpec((1, bk, dp), lambda b, i, k: (b, k, 0), memory_space=V),
+            pl.BlockSpec((1, bk, A), lambda b, i, k: (b, k, 0), memory_space=V),
+            pl.BlockSpec((1, 1, bk), lambda b, i, k: (b // H, 0, k), memory_space=V),
+            pl.BlockSpec((1, Fn, bk), lambda b, i, k: (b % H, 0, k), memory_space=V),
+            pl.BlockSpec((Tp, 1), lambda b, i, k: (0, 0), memory_space=V),
         ],
         out_specs=[
-            pl.BlockSpec((1, A, bq, dp), lambda b, i: (b, 0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, bq, 1), lambda b, i: (b, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, bq, dp), lambda b, i, k: (b, 0, i, 0), memory_space=V),
+            pl.BlockSpec((1, bq, 1), lambda b, i, k: (b, i, 0), memory_space=V),
+            pl.BlockSpec((1, bq, A), lambda b, i, k: (b, i, 0), memory_space=V),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, A, Tp, dp), jnp.float32),
             jax.ShapeDtypeStruct((BH, Tp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((BH, A, Tp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Tp, A), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, A * dp), jnp.float32),  # num_acc
+            pltpu.VMEM((bq, A), jnp.float32),  # den_acc
+            pltpu.VMEM((bq, 1), jnp.float32),  # m_run
         ],
         interpret=interpret,
-    )(qf, kf, vf, ef, mk, fbc, fid)
+    )(qf, kf, vf, et, mk, fbc, fid)
     return out, mrow, den
 
 
@@ -215,60 +269,36 @@ def _mm_attn(qm, km, vm, e, key_mask, frame_bias, frame_ids_f, interpret):
 
 
 def _mm_attn_fwd(qm, km, vm, e, key_mask, frame_bias, frame_ids_f, interpret):
-    qf, kf, vf, ef, mk, fbc, fid, dims = _prep(
+    qf, kf, vf, et, mk, fbc, fid, dims = _prep(
         qm, km, vm, e, key_mask, frame_bias, frame_ids_f.astype(jnp.int32)
     )
     B, H, A, T, dh, Tp, dp, blk, Fn = dims
-    out, mrow, den = _fwd(qf, kf, vf, ef, mk, fbc, fid, dims, interpret)
+    out, mrow, den = _fwd(qf, kf, vf, et, mk, fbc, fid, dims, interpret)
     o = out.reshape(B, H, A, Tp, dp)[:, :, :, :T, :dh]
-    res = (qf, kf, vf, ef, mk, fbc, fid, out, mrow, den, dims, key_mask, frame_ids_f)
+    res = (qf, kf, vf, et, mk, fbc, fid, out, mrow, den, dims, key_mask, frame_ids_f)
     return o, res
 
 
 def _mm_attn_bwd(interpret, res, g):
-    (qf, kf, vf, ef, mk, fbc, fid, out, mrow, den, dims,
+    (qf, kf, vf, et, mk, fbc, fid, out, mrow, den, dims,
      key_mask_in, frame_ids_f) = res
     B, H, A, T, dh, Tp, dp, blk, Fn = dims
     BH = B * H
     gf = jnp.pad(
         g.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, Tp - T), (0, dp - dh))
     ).reshape(BH, A, Tp, dp)
-    delta = jnp.sum(gf * out, axis=-1, keepdims=True)  # (BH, A, Tp, 1)
+    # delta transposed to (BH, Tp, A) like den (q-side columns); e back to
+    # row-major (BH, A, Tp) for the key-side lane broadcasts
+    delta = jnp.sum(gf * out, axis=-1).transpose(0, 2, 1)  # (BH, Tp, A)
+    ef = et.transpose(0, 2, 1)  # (BH, A, Tp)
 
-    # the unrolled A-loop keeps per-arg tile temporaries live; smaller bwd
-    # tiles keep the total under the 16MB VMEM budget
+    # the batched (A*blk, ·) stacks cap the useful tile size; 256 keeps the
+    # A=5 stacks (~0.65 MB each) and the weight tiles within VMEM
     blk = min(blk, 256)
     nq = nk = Tp // blk
     V = pltpu.VMEM
 
-    dq, dfb_per = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, n_args=A, n_frames=Fn, blk=blk),
-        grid=(BH, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=V),
-            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, j, 0), memory_space=V),
-            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, j, 0), memory_space=V),
-            pl.BlockSpec((1, A, blk), lambda b, i, j: (b, 0, j), memory_space=V),
-            pl.BlockSpec((1, 1, Tp), lambda b, i, j: (b // H, 0, 0), memory_space=V),
-            pl.BlockSpec((1, Fn, Tp), lambda b, i, j: (b % H, 0, 0), memory_space=V),
-            pl.BlockSpec((Tp, 1), lambda b, i, j: (0, 0), memory_space=V),
-            pl.BlockSpec((1, A, blk, dp), lambda b, i, j: (b, 0, i, 0), memory_space=V),
-            pl.BlockSpec((1, blk, 1), lambda b, i, j: (b, i, 0), memory_space=V),
-            pl.BlockSpec((1, A, blk, 1), lambda b, i, j: (b, 0, i, 0), memory_space=V),
-            pl.BlockSpec((1, A, blk, 1), lambda b, i, j: (b, 0, i, 0), memory_space=V),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=V),
-            pl.BlockSpec((1, Fn, Fn), lambda b, i, j: (b, 0, 0), memory_space=V),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
-            jax.ShapeDtypeStruct((BH, Fn, Fn), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qf, kf, vf, ef, mk, fbc, fid, gf, mrow, den, delta)
-
-    dk, dv, de = pl.pallas_call(
+    dk, dv, de, ds = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, n_args=A, n_frames=Fn, blk=blk),
         grid=(BH, nk, nq),
         in_specs=[
@@ -276,30 +306,44 @@ def _mm_attn_bwd(interpret, res, g):
             pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=V),
             pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=V),
             pl.BlockSpec((1, A, blk), lambda b, j, i: (b, 0, j), memory_space=V),
+            pl.BlockSpec((1, blk, A), lambda b, j, i: (b, j, 0), memory_space=V),
             pl.BlockSpec((1, 1, Tp), lambda b, j, i: (b // H, 0, 0), memory_space=V),
             pl.BlockSpec((1, Fn, Tp), lambda b, j, i: (b % H, 0, 0), memory_space=V),
             pl.BlockSpec((Tp, 1), lambda b, j, i: (0, 0), memory_space=V),
             pl.BlockSpec((1, A, blk, dp), lambda b, j, i: (b, 0, i, 0), memory_space=V),
             pl.BlockSpec((1, blk, 1), lambda b, j, i: (b, i, 0), memory_space=V),
-            pl.BlockSpec((1, A, blk, 1), lambda b, j, i: (b, 0, i, 0), memory_space=V),
-            pl.BlockSpec((1, A, blk, 1), lambda b, j, i: (b, 0, i, 0), memory_space=V),
+            pl.BlockSpec((1, blk, A), lambda b, j, i: (b, i, 0), memory_space=V),
+            pl.BlockSpec((1, blk, A), lambda b, j, i: (b, i, 0), memory_space=V),
         ],
         out_specs=[
             pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=V),
             pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=V),
             pl.BlockSpec((1, A, blk), lambda b, j, i: (b, 0, j), memory_space=V),
+            pl.BlockSpec((1, blk, blk), lambda b, j, i: (b, i, j), memory_space=V),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
             jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
             jax.ShapeDtypeStruct((BH, A, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Tp, Tp), jnp.float32),
         ],
         interpret=interpret,
-    )(qf, kf, vf, ef, mk, fbc, fid, gf, mrow, den, delta)
+    )(qf, kf, vf, ef, et, mk, fbc, fid, gf, mrow, den, delta)
 
     def unpad3(x):
         return x.reshape(B, H, Tp, dp)[:, :, :T, :dh]
 
+    # dq and the frame-bias grad from the emitted ds tiles — plain GEMMs
+    # (precision matches the kernels so parity holds at 'highest')
+    prec = _precision()
+    dq = jnp.einsum("bij,bjd->bid", ds, kf, precision=prec)
+    fid_flat = fid[:, 0]  # (Tp,)
+    onehot = (
+        fid_flat[:, None] == jnp.arange(Fn, dtype=fid_flat.dtype)[None, :]
+    ).astype(jnp.float32)  # (Tp, F)
+    dfb_per = jnp.einsum(
+        "fi,bij,jg->bfg", onehot.T, ds, onehot, precision=prec
+    )  # (BH, F, F)
     dfb = dfb_per.reshape(B, H, Fn, Fn).sum(axis=0)  # (H,F,F)
     de_out = de.reshape(B, H, A, Tp)[:, :, :, :T]
     return (
