@@ -16,10 +16,13 @@ Design (SURVEY §7 hard part #2):
     whose q rows share one frame, e.g. 3/4 of P100-SPAT blocks) or a
     one-hot (bq,F)·(F,bk) matmul for frame-crossing blocks.  The (T, T)
     token-level bias never exists anywhere.
-  * Backward is two fully-blocked Pallas kernels (dq + frame-bias grad
-    over grid (BH, nq, nk); dk/dv over (BH, nk, nq)) that recompute the
-    probability tiles from the forward logsumexp — no (T, T) residuals in
-    HBM and all VMEM buffers are (block, block) sized.
+  * Backward is ONE fully-blocked Pallas kernel (dk/dv over grid
+    (BH, nk, nq)) that recomputes the probability tiles from the forward
+    logsumexp and also emits the masked score-grad tiles ds; dq and the
+    frame-bias grad then run as plain XLA GEMMs over ds.  (The round-1
+    version used a second dq kernel with its own s/p/dp recompute — at
+    fp32-highest the 6-pass matmul recompute costs more than the (T, T)
+    HBM round-trip of ds, measured on both this and the mm kernel.)
   * Padding: T is padded to the block (128 fwd / 512 bwd long-seq), head
     dim to the 128-lane tile; masked lanes use a finite -1e30 so
     fully-masked rows stay NaN free; frame ids are edge-padded to keep
@@ -146,11 +149,6 @@ def _block_tile(fid_ref, mask_ref, fbc_ref, qi, ki, scale, n_frames, bq, bk,
                 q_blk, k_blk, lse_blk, do_blk, v_blk, delta_blk):
     """Shared recompute of the (bq, bk) probability tile + dS tile."""
     F = n_frames
-    f_range = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
-    fq = fid_ref[pl.ds(qi * bq, bq), 0]
-    fk = fid_ref[pl.ds(ki * bk, bk), 0]
-    oq = (fq[:, None] == f_range).astype(jnp.float32)  # (bq, F)
-    okb = (fk[:, None] == f_range).astype(jnp.float32)  # (bk, F)
     bias = _bias_block(fbc_ref, fid_ref, qi, bq, ki * bk, bk, F)
 
     s = _dot(q_blk, k_blk) * scale  # (bq, bk)
@@ -160,47 +158,23 @@ def _block_tile(fid_ref, mask_ref, fbc_ref, qi, ki, scale, n_frames, bq, bk,
     dp = _dot(do_blk, v_blk)  # (bq, bk)
     ds = p * (dp - delta_blk)
     ds_m = jnp.where(mask_k[None, :] > 0, ds, 0.0)
-    return p, ds, ds_m, oq, okb
-
-
-def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, mask_ref, fbc_ref, fid_ref, do_ref, lse_ref, delta_ref,
-    dq_ref, dfb_ref, *, scale, n_frames, bq, bk
-):
-    # grid (BH, nq, nk); j = innermost; dq accumulates over j, dfb over all
-    qi = pl.program_id(1)
-    j = pl.program_id(2)
-    p, ds, ds_m, oq, okb = _block_tile(
-        fid_ref, mask_ref, fbc_ref, qi, j, scale, n_frames, bq, bk,
-        q_ref[0], k_ref[0], lse_ref[0], do_ref[0], v_ref[0], delta_ref[0],
-    )
-
-    @pl.when(j == 0)
-    def _():
-        dq_ref[0] = jnp.zeros_like(dq_ref[0])
-
-    dq_ref[0] += _dot(ds, k_ref[0], contract=((1,), (0,))) * scale
-
-    @pl.when((qi == 0) & (j == 0))
-    def _():
-        dfb_ref[0] = jnp.zeros_like(dfb_ref[0])
-
-    dfb_ref[0] += jnp.dot(
-        _dot(oq, ds_m, contract=((0,), (0,))),  # (F, bk)
-        okb,
-        preferred_element_type=jnp.float32,
-        precision=_precision(),
-    )  # (F, F)
+    return p, ds, ds_m
 
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, mask_ref, fbc_ref, fid_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref, *, scale, n_frames, bq, bk
+    dk_ref, dv_ref, ds_ref, *, scale, n_frames, bq, bk
 ):
-    # grid (BH, nk, nq); i = innermost; dk/dv accumulate over i
+    # grid (BH, nk, nq); i = innermost; dk/dv accumulate over i.
+    # The masked score-grad tile ds is ALSO emitted: dq (= scale · ds @ k)
+    # and the frame-bias grad (= onehot_f^T ds onehot_f) then run as plain
+    # XLA GEMMs — this deletes the former dq kernel, whose per-tile s/p/dp
+    # recompute at fp32-highest (6-pass matmuls) cost more than the (T,T)
+    # HBM round-trip of ds.  (A single-pass merge is not expressible:
+    # Pallas output blocks must not be revisited non-consecutively.)
     ki = pl.program_id(1)
     i = pl.program_id(2)
-    p, ds, ds_m, _, _ = _block_tile(
+    p, ds, ds_m = _block_tile(
         fid_ref, mask_ref, fbc_ref, i, ki, scale, n_frames, bq, bk,
         q_ref[0], k_ref[0], lse_ref[0], do_ref[0], v_ref[0], delta_ref[0],
     )
@@ -212,6 +186,10 @@ def _bwd_dkv_kernel(
 
     dv_ref[0] += _dot(p, do_ref[0], contract=((0,), (0,)))  # (bk, dh)
     dk_ref[0] += _dot(ds, q_ref[0], contract=((0,), (0,))) * scale  # (bk, dh)
+    # DS layout is (BH, Tq, Tk); the out index_map swaps (ki, i) -> (i, ki).
+    # ds_m == ds wherever p > 0 (masked keys have p = 0), so dq from ds_m
+    # is exact; dfb needs the masked form.
+    ds_ref[0] = ds_m
 
 
 # --------------------------------------------------------------------------
@@ -324,34 +302,8 @@ def _flash_bwd(interpret, res, g):
     fullb = lambda b, i, j: (b % H, 0, 0)
     fullfid = lambda b, i, j: (0, 0)
 
-    # grid (BH, nq, nk): j innermost; dq accumulates over j, dfb over all
-    dq, dfb_per = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, n_frames=Fn, bq=blk, bk=blk),
-        grid=(BH, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tp), fullm3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fn, Tp), fullb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tp, 1), fullfid, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fn, Fn), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
-            jax.ShapeDtypeStruct((BH, Fn, Fn), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qf, kf, vf, mk, fb, fid, do, lse, delta)
-
-    # grid (BH, nk, nq): i innermost; dk/dv accumulate over i
-    dk, dv = pl.pallas_call(
+    # grid (BH, nk, nq): i innermost; dk/dv accumulate over i; ds emitted
+    dk, dv, ds = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, n_frames=Fn, bq=blk, bk=blk),
         grid=(BH, nk, nq),
         in_specs=[
@@ -368,10 +320,12 @@ def _flash_bwd(interpret, res, g):
         out_specs=[
             pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, blk), lambda b, j, i: (b, i, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
             jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Tp, Tp), jnp.float32),
         ],
         interpret=interpret,
     )(qf, kf, vf, mk, fb, fid, do, lse, delta)
@@ -379,6 +333,16 @@ def _flash_bwd(interpret, res, g):
     def unpad(x):
         return x.reshape(B, H, Tp, dp)[:, :, :T, :dh]
 
+    # dq and the frame-bias grad from the emitted ds tiles (plain GEMMs)
+    prec = _precision()
+    dq = jnp.einsum("bij,bjd->bid", ds, kf, precision=prec) * scale
+    fid_flat = fid[:, 0]  # (Tp,)
+    onehot = (
+        fid_flat[:, None] == jnp.arange(Fn, dtype=fid_flat.dtype)[None, :]
+    ).astype(jnp.float32)  # (Tp, F)
+    dfb_per = jnp.einsum(
+        "fi,bij,jg->bfg", onehot.T, ds, onehot, precision=prec
+    )  # (BH, F, F)
     dfb = dfb_per.reshape(B, H, Fn, Fn).sum(axis=0)  # (H,F,F)
     return (
         unpad(dq),
