@@ -1,0 +1,114 @@
+"""Epoch-style input-pipeline benchmark (round-1 verdict item 7).
+
+bench.py measures steady-state compute on ONE resident batch; this tool
+measures the same train step fed by the REAL host path — dataset
+__getitem__ (feature gather through FeatureStore / the C++ featpack store
+if packed), collate, prefetch thread, shard_batch H2D — and reports the
+host overhead over the compute-only floor:
+
+  host_stall_pct = (t_e2e - t_compute) / t_e2e
+
+Usage:  python tools/bench_input.py [gt5|p100] [batch] [data_dir] [host|device]
+
+``device`` benches the device-resident feature-table path
+(data/device_store.py): batches carry vid_rows and the feature gather
+runs inside the jitted step, so per-batch H2D drops from ~34 MB to KBs.
+
+Needs a dataset at real dims (``bash data/download_data.sh --synthetic``
+writes data/asrl).  Run ``python -c "from vog_tpu.data.featpack import
+build_featpack; build_featpack('data/asrl')"`` first to also exercise the
+packed mmap store.  Results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _cfg, _glove
+    from vog_tpu.config import apply_matmul_precision, post_proc_config
+    from vog_tpu.data.loader import get_data
+    from vog_tpu.train.dist import make_mesh, shard_batch
+    from vog_tpu.train.state import init_state, make_train_step
+
+    exp = sys.argv[1] if len(sys.argv) > 1 else "gt5"
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else (16 if exp == "gt5" else 2)
+    data_dir = sys.argv[3] if len(sys.argv) > 3 else "data/asrl"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "host"
+
+    cfg = _cfg(tiny=False)
+    cfg.ds.exp_setting = exp
+    cfg.ds.data_dir = data_dir
+    post_proc_config(cfg)
+    cfg.misc.mesh_data = 1
+    cfg.misc.mesh_model = 1
+    apply_matmul_precision(cfg)
+    mesh = make_mesh(cfg)
+
+    data = get_data(cfg, B)
+    store_kind = type(data.train_dl.ds.store).__name__
+    state = init_state(cfg, _glove(cfg), jax.random.PRNGKey(0), B)
+    tables = None
+    if mode == "device":
+        from vog_tpu.data.device_store import DeviceFeatureTables
+
+        dft = DeviceFeatureTables(cfg, data.train_dl.ds.store, mesh)
+        data.train_dl.ds.device_rows = dft.rows
+        tables = dft.tables
+        store_kind += "+device"
+    raw = make_train_step(cfg, device_store=(mode == "device"))
+    jstep = jax.jit(raw, donate_argnums=(0,))
+    step = lambda s, b, r: jstep(s, b, r, tables)
+    rng = jax.random.PRNGKey(1)
+
+    # compile + one resident batch for the compute floor
+    print("building first batch...", flush=True)
+    it = iter(data.train_dl)
+    first = shard_batch(next(it), mesh)
+    print("compiling...", flush=True)
+    for _ in range(3):
+        state, aux = step(state, first, rng)
+        float(aux["loss"])
+    N = int(os.environ.get("BENCH_INPUT_N", "0")) or min(
+        20, len(data.train_dl) - 1
+    )
+    print(f"timing compute floor ({N} steps)...", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(N):
+        state, aux = step(state, first, rng)
+    float(aux["loss"])
+    t_compute = (time.perf_counter() - t0) / N
+
+    # epoch-style: real batches through getitem + prefetch + shard_batch
+    print("timing e2e epoch loop...", flush=True)
+    del it
+    data.train_dl.epoch = 1
+    t0 = time.perf_counter()
+    n = 0
+    for batch in data.train_dl:
+        sb = shard_batch(batch, mesh, cfg.misc.half_feats)
+        state, aux = step(state, sb, rng)
+        n += 1
+        if n >= N:
+            break
+    float(aux["loss"])
+    t_e2e = (time.perf_counter() - t0) / n
+
+    stall = max(0.0, (t_e2e - t_compute) / t_e2e * 100.0)
+    pairs = B * cfg.ds.num_cmp
+    print(
+        f"{exp} B={B} store={store_kind}: compute {t_compute * 1e3:.1f} ms/step, "
+        f"e2e {t_e2e * 1e3:.1f} ms/step, host_stall {stall:.1f}%, "
+        f"e2e throughput {pairs / t_e2e:.1f} pairs/s"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,11 @@ class DsCfg:
     glove_dim: int = 300
     num_roles: int = 24  # SRL role vocabulary size (V, ARG0..ARGM-*)
     shuffle_cmp: bool = True  # shuffle positive position in train groups
+    # device-resident feature tables (data/device_store.py): upload the
+    # whole feats/seg store to HBM once; batches carry vid_rows and the
+    # gather runs inside the jitted step.  auto = on when the table fits
+    # the per-chip budget (GT5-scale yes, P100 full-scale no).
+    device_store: str = "auto"  # auto | on | off
     # derived (post_proc_config equivalent):
     num_prop_per_frm: int = 5
     num_cmp: int = 1  # 1 for svsq else ncmp

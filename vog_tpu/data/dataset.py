@@ -92,6 +92,18 @@ class FeatureStore:
             np.load(self.seg_dir / f"{vid_seg}.npy").astype(np.float32),
         )
 
+    def get_meta(self, vid_seg: str) -> tuple:
+        """Small fields only: (boxes_abs, scores) — for device-resident
+        feature tables (vog_tpu/data/device_store.py)."""
+        _, boxes, scores, _ = self.get(vid_seg)
+        return boxes, scores
+
+    def videos(self) -> List[str]:
+        if self._cache:
+            return list(self._cache.keys())
+        with h5py.File(self.h5_path, "r") as h5:
+            return list(h5.keys())
+
     def dims(self, vid_seg: str) -> tuple:
         w, h = self.vid_dims[vid_seg]
         return float(w), float(h)
@@ -105,6 +117,11 @@ class AnetSRLDataset:
         self.split = split
         self.vocab = vocab
         self.store = store
+        # vid_seg -> row in the device-resident feature tables; when set
+        # (Learner + data/device_store.py), __getitem__ emits ``vid_rows``
+        # instead of the big props/seg_feats arrays and the gather happens
+        # on device inside the jitted step
+        self.device_rows: Optional[Dict[str, int]] = None
         data_dir = Path(cfg.ds.data_dir)
         self.anns = load_annotations(data_dir / f"anns_{split}.jsonl")
         with open(data_dir / f"cs_dict_{split}.json") as f:
@@ -122,23 +139,30 @@ class AnetSRLDataset:
         return len(self.anns)
 
     # -- per-video feature block -------------------------------------------
-    def _video_block(self, vid_seg: str, fetched=None):
+    def _video_block(self, vid_seg: str, fetched=None, meta_only: bool = False):
         cfg = self.cfg.ds
         F, P = cfg.num_frms, cfg.num_prop_per_frm
-        feats, boxes_abs, scores, seg = (
-            fetched if fetched is not None else self.store.get(vid_seg)
-        )
+        if meta_only:
+            boxes_abs, scores = (
+                fetched if fetched is not None else self.store.get_meta(vid_seg)
+            )
+            props = segf = None
+        else:
+            feats, boxes_abs, scores, seg = (
+                fetched if fetched is not None else self.store.get(vid_seg)
+            )
         w, h = self.store.dims(vid_seg)
-        f0, p0 = feats.shape[0], feats.shape[1]
-        props = np.zeros((F, P, cfg.prop_dim), np.float32)
+        f0, p0 = boxes_abs.shape[0], boxes_abs.shape[1]
         pbox = np.zeros((F, P, 5), np.float32)
         pmask = np.zeros((F, P), np.float32)
-        segf = np.zeros((F, cfg.seg_dim), np.float32)
         fi, pi = min(f0, F), min(p0, P)
-        props[:fi, :pi] = feats[:fi, :pi]
         pbox[:fi, :pi] = normalize_boxes(boxes_abs[:fi, :pi], w, h)
         pmask[:fi, :pi] = 1.0
-        segf[: min(seg.shape[0], F)] = seg[:F]
+        if not meta_only:
+            props = np.zeros((F, P, cfg.prop_dim), np.float32)
+            segf = np.zeros((F, cfg.seg_dim), np.float32)
+            props[:fi, :pi] = feats[:fi, :pi]
+            segf[: min(seg.shape[0], F)] = seg[:F]
         return props, pbox, pmask, segf, boxes_abs[:fi, :pi], (w, h)
 
     # -- main entry ----------------------------------------------------------
@@ -156,21 +180,36 @@ class AnetSRLDataset:
         group_anns = [self.anns[j] for j in partners]
         group_anns.insert(pos_slot, ann)
 
-        props = np.zeros((V, F, P, cfg.prop_dim), np.float32)
+        on_device = self.device_rows is not None
         pbox = np.zeros((V, F, P, 5), np.float32)
         pmask = np.zeros((V, F, P), np.float32)
-        segf = np.zeros((V, F, cfg.seg_dim), np.float32)
+        if on_device:
+            props = segf = None
+            vid_rows = np.zeros((V,), np.int32)
+        else:
+            props = np.zeros((V, F, P, cfg.prop_dim), np.float32)
+            segf = np.zeros((V, F, cfg.seg_dim), np.float32)
         pos_abs_boxes = None
         pos_dims = None
         # one threaded C++ gather for the whole group when the packed
-        # store is in use (vog_tpu/data/featpack.py)
+        # store is in use (vog_tpu/data/featpack.py); with device-resident
+        # tables only the small boxes/scores fields move
         if hasattr(self.store, "gather_many"):
-            fetched_all = self.store.gather_many([g["vid_seg"] for g in group_anns])
+            fetched_all = self.store.gather_many(
+                [g["vid_seg"] for g in group_anns],
+                fields=("boxes", "scores") if on_device else None,
+            )
         else:
             fetched_all = [None] * len(group_anns)
         for v, (g, fetched) in enumerate(zip(group_anns, fetched_all)):
-            pr, pb, pm, sg, abs_b, dims = self._video_block(g["vid_seg"], fetched)
-            props[v], pbox[v], pmask[v], segf[v] = pr, pb, pm, sg
+            pr, pb, pm, sg, abs_b, dims = self._video_block(
+                g["vid_seg"], fetched, meta_only=on_device
+            )
+            pbox[v], pmask[v] = pb, pm
+            if on_device:
+                vid_rows[v] = self.device_rows[g["vid_seg"]]
+            else:
+                props[v], segf[v] = pr, sg
             if v == pos_slot:
                 pos_abs_boxes, pos_dims = abs_b, dims
 
@@ -208,11 +247,15 @@ class AnetSRLDataset:
                         np.float32
                     )
 
+        out_feats = (
+            {"vid_rows": vid_rows}
+            if on_device
+            else {"props": props, "seg_feats": segf}
+        )
         return {
-            "props": props,
+            **out_feats,
             "prop_boxes": pbox,
             "prop_mask": pmask,
-            "seg_feats": segf,
             "tokens": tokens,
             "seq_len": seq_len,
             "verb_idx": verb_idx,

@@ -1,0 +1,157 @@
+"""Device-resident feature tables: preload the feature store to HBM once.
+
+Why (TPU-first, SURVEY §7 hard part #5): per-batch feature transfer is the
+real-data bottleneck — a GT5-SPAT batch carries ~34 MB of fc6/TSN floats,
+which costs ~330 ms through this environment's remote-TPU tunnel (measured,
+BASELINE.md §4) and real PCIe bandwidth + host RAM churn on any machine.
+The reference re-reads features from h5 on every batch (SURVEY §3.3).
+
+Here the whole table uploads ONCE: feats (N, F, P, prop_dim) and seg
+(N, F, seg_dim) device arrays, replicated over the mesh; batches then carry
+only ``vid_rows (B, V) int32`` and the gather runs inside the jitted step
+(XLA dynamic-gather from HBM), so steady-state H2D is a few hundred KB of
+language/targets/boxes per batch.
+
+Sizing: full real ASRL GT5 is ~15k segments x 10 x 5 x 2048 x 4 B ≈ 6 GB —
+fits one v5e's 16 GB HBM next to the model.  The P100 table (~100 GB) does
+not fit one chip — there the table **shards its rows over the mesh's
+'data' axis** and the in-step gather becomes a collective
+(``sharded_gather_from_tables``): each device gathers the rows it owns
+for the *global* batch (masked to zero elsewhere) and a
+``lax.psum_scatter`` over the batch dimension both sums the per-owner
+contributions and hands every device exactly its local batch block — one
+array-sized pass over ICI, no all-gather of the table, no host round-trip.
+A 100 GB P100 table fits a 16-chip slice at ~6.3 GB/chip.
+
+Opt-in via ``ds.device_store`` = auto | on | off (auto = on when the table
+fits the per-chip budget, replicated on one chip or row-sharded on a
+multi-chip 'data' axis).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from vog_tpu.config import Cfg
+
+# conservative per-chip budget for the tables: leave room for params,
+# optimizer state, and activations on a 16 GB v5e
+DEVICE_STORE_BUDGET_BYTES = 8 * 1024**3
+
+
+def table_bytes(cfg: Cfg, n_videos: int) -> int:
+    ds = cfg.ds
+    per_vid = ds.num_frms * (ds.num_prop_per_frm * ds.prop_dim + ds.seg_dim)
+    return n_videos * per_vid * 4
+
+
+def fits_device_store(cfg: Cfg, n_videos: int, n_data_shards: int = 1) -> bool:
+    """Does the table fit the per-chip budget?  With ``n_data_shards`` > 1
+    the rows shard over the 'data' mesh axis, so each chip holds 1/n."""
+    need = table_bytes(cfg, n_videos)
+    return need <= DEVICE_STORE_BUDGET_BYTES * max(n_data_shards, 1)
+
+
+class DeviceFeatureTables:
+    """Builds (and uploads) the packed per-video feature tables.
+
+    ``rows`` maps vid_seg -> row index; ``tables`` is the device pytree
+    {"feats": (N, F, P, D), "seg": (N, F, Dv)} — replicated over the mesh,
+    or with ``shard=True`` row-sharded over the mesh's 'data' axis (rows
+    padded to a multiple of the axis size; gather then goes through
+    ``sharded_gather_from_tables``).
+    """
+
+    def __init__(
+        self, cfg: Cfg, store, mesh=None, half: bool = False, shard: bool = False
+    ):
+        import jax
+
+        ds = cfg.ds
+        F, P = ds.num_frms, ds.num_prop_per_frm
+        vids: List[str] = store.videos()
+        self.rows: Dict[str, int] = {v: i for i, v in enumerate(vids)}
+        n = len(vids)
+        self.sharded = bool(shard and mesh is not None and mesh.shape["data"] > 1)
+        if self.sharded:  # pad rows so each 'data' shard is equal-sized
+            nd = mesh.shape["data"]
+            n = ((n + nd - 1) // nd) * nd
+        feats = np.zeros((n, F, P, ds.prop_dim), np.float32)
+        seg = np.zeros((n, F, ds.seg_dim), np.float32)
+        for i, v in enumerate(vids):
+            fv, _, _, sv = store.get(v)
+            fi, pi = min(fv.shape[0], F), min(fv.shape[1], P)
+            feats[i, :fi, :pi] = fv[:fi, :pi]
+            seg[i, : min(sv.shape[0], F)] = sv[:F]
+        dtype = jax.numpy.bfloat16 if half else jax.numpy.float32
+        host = {"feats": feats, "seg": seg}
+        if mesh is not None and not mesh.empty:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = PartitionSpec("data") if self.sharded else PartitionSpec()
+            sharding = NamedSharding(mesh, spec)
+            self.tables = {
+                k: jax.device_put(v.astype(dtype), sharding)
+                for k, v in host.items()
+            }
+        else:
+            self.tables = {
+                k: jax.device_put(v.astype(dtype)) for k, v in host.items()
+            }
+
+
+def gather_from_tables(batch: Dict, tables: Dict) -> Dict:
+    """Inside-jit: resolve vid_rows against the resident tables so the
+    downstream path sees the canonical props/seg_feats batch schema."""
+    import jax.numpy as jnp
+
+    rows = batch["vid_rows"]  # (B, V) int32
+    out = {k: v for k, v in batch.items() if k != "vid_rows"}
+    out["props"] = jnp.take(tables["feats"], rows, axis=0).astype(jnp.float32)
+    out["seg_feats"] = jnp.take(tables["seg"], rows, axis=0).astype(jnp.float32)
+    return out
+
+
+def sharded_gather_from_tables(batch: Dict, tables: Dict, mesh) -> Dict:
+    """Inside-jit collective gather against row-sharded tables.
+
+    Tables are PartitionSpec('data') on rows; the batch is sharded on its
+    leading dim over the same axis.  Per device: gather the *global* (B,V)
+    rows from the local row shard, zero the rows another device owns, then
+    ``psum_scatter`` over the batch dim — the sum reconstructs every row
+    (exactly one owner is non-zero) while the scatter leaves each device
+    holding only its own batch block.  Cost: one (B,V,F,P,D)-sized
+    reduce-scatter over ICI; the table itself never moves.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rows = batch["vid_rows"]  # (B, V) int32 — global batch
+    out = {k: v for k, v in batch.items() if k != "vid_rows"}
+
+    def local(feats_loc, seg_loc, rows_full):
+        nloc = feats_loc.shape[0]
+        start = jax.lax.axis_index("data") * nloc
+        loc = jnp.clip(rows_full - start, 0, nloc - 1)
+        mine = (rows_full >= start) & (rows_full < start + nloc)
+        f = jnp.take(feats_loc, loc, axis=0)  # (B, V, F, P, D)
+        s = jnp.take(seg_loc, loc, axis=0)  # (B, V, F, Dv)
+        f = jnp.where(mine[..., None, None, None], f, 0)
+        s = jnp.where(mine[..., None, None], s, 0)
+        f = jax.lax.psum_scatter(f, "data", scatter_dimension=0, tiled=True)
+        s = jax.lax.psum_scatter(s, "data", scatter_dimension=0, tiled=True)
+        return f, s
+
+    props, seg = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P()),
+        out_specs=(P("data"), P("data")),
+    )(tables["feats"], tables["seg"], rows)
+    out["props"] = props.astype(jnp.float32)
+    out["seg_feats"] = seg.astype(jnp.float32)
+    return out

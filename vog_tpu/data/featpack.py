@@ -87,18 +87,22 @@ class PackedFeatureStore:
         w, h = self.vid_dims[vid_seg]
         return float(w), float(h)
 
-    def gather_many(self, vid_segs: List[str]):
-        """Fetch all fields for many segments in ONE threaded C++ call.
-        Returns list of (feats, boxes, scores, seg) tuples."""
+    def videos(self) -> List[str]:
+        return list(self.entries.keys())
+
+    def gather_many(self, vid_segs: List[str], fields=None):
+        """Fetch the given fields (default: all) for many segments in ONE
+        threaded C++ call.  Returns a list of per-segment field tuples."""
         import ctypes
 
+        fields = fields or self.FIELDS
         recs = []
         src, size, dst = [], [], []
         total = 0
         for seg in vid_segs:
             e = self.entries[seg]
             shapes = []
-            for f in self.FIELDS:
+            for f in fields:
                 off, shape = e[f]
                 nbytes = int(np.prod(shape)) * 4
                 src.append(off)
@@ -134,3 +138,8 @@ class PackedFeatureStore:
 
     def get(self, vid_seg: str):
         return self.gather_many([vid_seg])[0]
+
+    def get_meta(self, vid_seg: str):
+        """Small fields only: (boxes_abs (F,P,4), scores (F,P)) — used when
+        the big feats/seg tables are device-resident."""
+        return self.gather_many([vid_seg], fields=("boxes", "scores"))[0]

@@ -84,6 +84,46 @@ class Learner:
         if cfg.train.lr_schedule == "cosine" and cfg.train.total_steps == 0:
             cfg.train.total_steps = cfg.train.epochs * len(data.train_dl)
 
+        # device-resident feature tables: upload feats/seg to HBM once and
+        # gather inside the step (kills the ~MB-scale per-batch feature
+        # transfer — see data/device_store.py)
+        self._tables = None
+        self._device_store = False
+        self._store_mesh = None
+        want = cfg.ds.device_store
+        if want != "off":
+            from vog_tpu.data.device_store import (
+                DeviceFeatureTables,
+                fits_device_store,
+            )
+
+            store = data.train_dl.ds.store
+            n_videos = len(store.videos())
+            n_data = self.mesh.shape["data"]
+            # prefer replicated (no collectives in the gather); fall back
+            # to row-sharding over the 'data' axis when only the per-shard
+            # slice fits (P100-at-100GB regime, SURVEY §7 hard part #5)
+            fits_rep = fits_device_store(cfg, n_videos)
+            fits_shard = n_data > 1 and fits_device_store(cfg, n_videos, n_data)
+            if want == "on" or (
+                jax.default_backend() == "tpu" and (fits_rep or fits_shard)
+            ):
+                shard = not fits_rep and fits_shard
+                dft = DeviceFeatureTables(
+                    cfg, store, self.mesh, half=cfg.misc.half_feats, shard=shard
+                )
+                self._tables = dft.tables
+                self._device_store = True
+                self._store_mesh = self.mesh if dft.sharded else None
+                for dl in (data.train_dl, data.valid_dl, data.test_dl):
+                    if dl is not None:
+                        dl.ds.device_rows = dft.rows
+                self.log(
+                    f"device feature store: {n_videos} videos resident"
+                    f"{' (row-sharded /%d)' % n_data if dft.sharded else ''} "
+                    f"({sum(v.nbytes for v in self._tables.values()) / 1e6:.0f} MB)"
+                )
+
         state = init_state(cfg, glove, rng, self.global_bs)
         shardings = param_shardings(self.mesh, state.params)
         params = jax.device_put(state.params, shardings)
@@ -97,26 +137,29 @@ class Learner:
         )
         self.state = state.replace(params=params, opt_state=opt_state)
 
+        dstore = self._device_store
         if cfg.misc.checkify:
             # sanitizer mode (SURVEY §5): NaN + div-by-zero guards compiled
             # into the step; errors surface with locations at log points
             from jax.experimental import checkify as _ck
 
-            raw_step = make_train_step(cfg)
+            raw_step = make_train_step(cfg, dstore, self._store_mesh)
             jitted = jax.jit(
                 _ck.checkify(raw_step, errors=_ck.float_checks | _ck.div_checks),
                 donate_argnums=(0,),
             )
 
-            def _step(state, batch, rng):
-                err, out = jitted(state, batch, rng)
+            def _step(state, batch, rng, tables=None):
+                err, out = jitted(state, batch, rng, tables)
                 _ck.check_error(err)  # host-side raise (syncs every step)
                 return out
 
             self._train_step = _step
         else:
-            self._train_step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
-        self._eval_step = jax.jit(make_eval_step(cfg))
+            self._train_step = jax.jit(
+                make_train_step(cfg, dstore, self._store_mesh), donate_argnums=(0,)
+            )
+        self._eval_step = jax.jit(make_eval_step(cfg, dstore, self._store_mesh))
         self.best_metric = -float("inf")
         self.epoch = 0
         self.batch_in_epoch = 0
@@ -209,7 +252,9 @@ class Learner:
                     profiling = True
                 batch = shard_batch(batch, self.mesh, cfg.misc.half_feats)
                 with jax.profiler.StepTraceAnnotation("train", step_num=i):
-                    self.state, aux = self._train_step(self.state, batch, self.rng)
+                    self.state, aux = self._train_step(
+                        self.state, batch, self.rng, self._tables
+                    )
                 if profiling and i >= cfg.misc.profile_steps:
                     jax.block_until_ready(aux["loss"])
                     jax.profiler.stop_trace()
@@ -272,7 +317,7 @@ class Learner:
             ann_idx = np.asarray(batch["ann_idx"])
             bm = np.asarray(batch["batch_mask"])
             sb = shard_batch(batch, self.mesh, self.cfg.misc.half_feats)
-            out = self._eval_step(self.state, sb)
+            out = self._eval_step(self.state, sb, self._tables)
             # one bulk device->host transfer per batch (each separate
             # fetch costs a full round-trip through the TPU tunnel)
             out = jax.device_get(out)

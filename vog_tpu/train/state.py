@@ -97,10 +97,36 @@ def init_state(cfg: Cfg, glove: np.ndarray, rng: jax.Array, batch_size: int) -> 
     )
 
 
-def make_train_step(cfg: Cfg) -> Callable:
-    conc = cfg.ds.conc_type
+def _make_gather(device_store: bool, store_mesh):
+    """The in-step feature resolve for device-resident tables: local take
+    when the tables are replicated, collective psum_scatter gather when
+    they are row-sharded over ``store_mesh``'s 'data' axis."""
+    if not device_store:
+        return lambda batch, tables: batch
+    if store_mesh is not None:
+        from vog_tpu.data.device_store import sharded_gather_from_tables
 
-    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        return lambda batch, tables: sharded_gather_from_tables(
+            batch, tables, store_mesh
+        )
+    from vog_tpu.data.device_store import gather_from_tables
+
+    return gather_from_tables
+
+
+def make_train_step(
+    cfg: Cfg, device_store: bool = False, store_mesh=None
+) -> Callable:
+    """device_store=True: the step takes a 4th ``tables`` arg (the
+    device-resident feature tables) and batches carry ``vid_rows`` — the
+    feature gather happens here inside jit (data/device_store.py).
+    store_mesh: set when the tables are row-sharded over the mesh's 'data'
+    axis (P100-scale) — the gather becomes a collective."""
+    conc = cfg.ds.conc_type
+    gather = _make_gather(device_store, store_mesh)
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array, tables=None):
+        batch = gather(batch, tables)
         step_rng = jax.random.fold_in(rng, state.step)
         clip = assemble_batch(batch, conc)
 
@@ -126,10 +152,14 @@ def make_train_step(cfg: Cfg) -> Callable:
     return train_step
 
 
-def make_eval_step(cfg: Cfg) -> Callable:
+def make_eval_step(
+    cfg: Cfg, device_store: bool = False, store_mesh=None
+) -> Callable:
     conc = cfg.ds.conc_type
+    gather = _make_gather(device_store, store_mesh)
 
-    def eval_step(state: TrainState, batch: Dict):
+    def eval_step(state: TrainState, batch: Dict, tables=None):
+        batch = gather(batch, tables)
         clip = assemble_batch(batch, conc)
         logits = state.apply_fn({"params": state.params}, clip, deterministic=True)
         loss, _ = compute_loss(logits, clip)
