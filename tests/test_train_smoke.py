@@ -28,8 +28,13 @@ def _learner(fixture_dir, tmp_path, uid, **over):
     return Learner(uid, data, cfg, mesh=mesh), data, cfg
 
 
-def test_train_learns_and_writes_artifacts(fixture_dir, tmp_path):
-    lrn, data, cfg = _learner(fixture_dir, tmp_path, "smoke", **{"train.epochs": 30})
+def test_train_learns_and_writes_artifacts(fixture_dir_big, tmp_path):
+    # the big fixture (160 train samples) is the one where generalization
+    # is learnable — see conftest.fixture_dir_big; measured valid acc
+    # 0.70–0.83 across seeds, chance level 1/P = 0.2
+    lrn, data, cfg = _learner(
+        fixture_dir_big, tmp_path, "smoke", **{"train.epochs": 15}
+    )
     m = lrn.fit()
     # metric dict schema (reference eval_fn metric names)
     for k in ("acc", "vacc", "strict_acc", "cons", "val_loss"):
@@ -37,7 +42,8 @@ def test_train_learns_and_writes_artifacts(fixture_dir, tmp_path):
     # learning happened: train-split accuracy far above the 1/P chance level
     tm = lrn._run_eval(data.train_dl, "train")
     assert tm["acc"] > 0.7, tm
-    assert m["acc"] > 0.3, m
+    # and it generalized: held-out accuracy well above chance
+    assert m["acc"] > 0.45, m
 
     # artifact layout: tmp/{txt_logs,models,predictions,ext_logs}/uid…
     tmp = Path(cfg.misc.tmp_path)
