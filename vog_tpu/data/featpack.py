@@ -143,3 +143,7 @@ class PackedFeatureStore:
         """Small fields only: (boxes_abs (F,P,4), scores (F,P)) — used when
         the big feats/seg tables are device-resident."""
         return self.gather_many([vid_seg], fields=("boxes", "scores"))[0]
+
+    def get_feats(self, vid_seg: str):
+        """Big fields only: (feats (F,P,D), seg (F,Dv))."""
+        return self.gather_many([vid_seg], fields=("feats", "seg"))[0]
