@@ -142,3 +142,29 @@ def test_rank_loss_training_runs(fixture_dir, tmp_path):
     m = lrn.fit()
     assert np.isfinite(m["val_loss"])
     assert 0.0 <= m["acc"] <= 1.0
+
+
+def test_async_checkpoint_roundtrip(fixture_dir, tmp_path):
+    """Non-blocking saves (async orbax commit thread) are durable after
+    the wait barrier and round-trip through a fresh Learner."""
+    lrn, data, cfg = _learner(
+        fixture_dir,
+        tmp_path,
+        "async",
+        **{"train.epochs": 1, "train.ckpt_every_steps": 1},
+    )
+    assert cfg.train.async_ckpt  # default on
+    lrn.fit()  # every step issues a non-blocking save; fit() ends with a barrier
+    step0 = int(lrn.state.step)
+    params0 = jax.tree.map(np.asarray, lrn.state.params)
+
+    lrn2, _, _ = _learner(
+        fixture_dir, tmp_path, "async", **{"train.epochs": 1}
+    )
+    lrn2.load()
+    assert int(lrn2.state.step) == step0
+    jax.tree.map(
+        np.testing.assert_array_equal,
+        params0,
+        jax.tree.map(np.asarray, lrn2.state.params),
+    )

@@ -105,6 +105,10 @@ class TrainCfg:
     resume_path: str = ""
     log_every: int = 10
     ckpt_every_steps: int = 0  # 0 = per-epoch only
+    # periodic mid-epoch saves commit in a background thread (async orbax)
+    # so the step loop never stalls on filesystem writes; epoch-end /
+    # best / final saves always block until durable
+    async_ckpt: bool = True
     num_eval_batches: int = 0  # 0 = all
 
 

@@ -179,16 +179,29 @@ class Learner:
             f.write(json.dumps(record) + "\n")
 
     # -- checkpointing ----------------------------------------------------------
-    def save(self, tag: str = "last") -> None:
-        ckptr = ocp.StandardCheckpointer()
+    @property
+    def _ckptr(self) -> ocp.AsyncCheckpointer:
+        """One async orbax checkpointer per Learner: array device->host
+        copies happen inline but the filesystem commit runs in a
+        background thread, so periodic mid-epoch saves don't stall the
+        step loop (SURVEY §5 failure-detection row; writes go to a tmp
+        dir and rename on commit, so readers never see a torn ckpt)."""
+        if getattr(self, "_ckptr_inst", None) is None:
+            self._ckptr_inst = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler()
+            )
+        return self._ckptr_inst
+
+    def save(self, tag: str = "last", blocking: bool = True) -> None:
         path = self.ckpt_dir / tag
         payload = {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
-        ckptr.save(path, payload, force=True)
-        ckptr.wait_until_finished()
+        self._ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+        if blocking:
+            self._ckptr.wait_until_finished()
         with open(self.ckpt_dir / f"{tag}.meta.json", "w") as f:
             json.dump(
                 {
@@ -202,7 +215,14 @@ class Learner:
                 f,
             )
 
+    def wait_for_checkpoints(self) -> None:
+        """Barrier for any in-flight async save (call before reading own
+        checkpoints or at end of training)."""
+        if getattr(self, "_ckptr_inst", None) is not None:
+            self._ckptr_inst.wait_until_finished()
+
     def load(self, path: Optional[str] = None, tag: str = "last") -> None:
+        self.wait_for_checkpoints()
         ckpt_path = Path(path).absolute() if path else self.ckpt_dir / tag
         ckptr = ocp.StandardCheckpointer()
         target = {
@@ -265,7 +285,8 @@ class Learner:
                     cfg.train.ckpt_every_steps
                     and int(self.state.step) % cfg.train.ckpt_every_steps == 0
                 ):
-                    self.save("last")
+                    # non-blocking: the commit overlaps subsequent steps
+                    self.save("last", blocking=not cfg.train.async_ckpt)
                 if (i + 1) % cfg.train.log_every == 0 or i == 0:
                     loss = float(aux["loss"])
                     if cfg.misc.check_nans and not np.isfinite(loss):
@@ -297,6 +318,7 @@ class Learner:
             if metrics["acc"] > self.best_metric:
                 self.best_metric = metrics["acc"]
                 self.save("best")
+        self.wait_for_checkpoints()
         return metrics
 
     # -- eval ----------------------------------------------------------------
