@@ -1,0 +1,77 @@
+"""Worker for the real multi-process multihost test (not a pytest module).
+
+Launched by tests/test_multihost.py as N separate processes that form a
+JAX CPU cluster (jax.distributed.initialize + Gloo collectives).  Each
+process owns 4 virtual CPU devices; the global mesh spans all N*4.
+
+Exercises the two multi-host seams for real (not the single-process
+identity): the full DP train step over a cross-process mesh (gradient
+psum rides the cluster collectives; the replicated loss must be
+addressable and identical everywhere), and the eval gather
+(vog_tpu/train/multihost.py: metric-sum allgather + length-padded
+pickled prediction blobs).
+
+Usage: python tests/_mp_worker.py <pid> <nproc> <port>
+Prints "MP_OK loss=<val>" on success.
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # authoritative over axon site hook
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=nproc, process_id=pid
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    n_global = len(jax.devices())
+    assert n_global == nproc * 4, n_global
+
+    # --- eval gather across real processes --------------------------------
+    from vog_tpu.train.multihost import gather_eval
+
+    sums = {"n_acc": float(pid + 1), "n_pairs": 10.0 * (pid + 1)}
+    preds = [{"ann_idx": pid, "pred_vid": [pid] * (pid + 2)}]
+    out_sums, out_preds = gather_eval(sums, preds)
+    assert out_sums["n_acc"] == sum(i + 1 for i in range(nproc)), out_sums
+    assert out_sums["n_pairs"] == sum(10.0 * (i + 1) for i in range(nproc))
+    assert [p["ann_idx"] for p in out_preds] == list(range(nproc)), out_preds
+
+    # --- full DP train step over the cross-process global mesh ------------
+    import numpy as np
+    from jax.sharding import Mesh
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _cfg, _glove, _random_batch
+    from vog_tpu.train.dist import param_shardings, shard_batch
+    from vog_tpu.train.state import init_state, make_train_step
+
+    cfg = _cfg(tiny=True)
+    data_ax = n_global
+    cfg.misc.mesh_data = data_ax
+    cfg.misc.mesh_model = 1
+    mesh = Mesh(np.asarray(jax.devices()).reshape(data_ax, 1), ("data", "model"))
+
+    global_bs = data_ax
+    state = init_state(cfg, _glove(cfg, 64), jax.random.PRNGKey(0), global_bs)
+    state = state.replace(
+        params=jax.device_put(state.params, param_shardings(mesh, state.params))
+    )
+    # every process holds the same host batch; device_put with the global
+    # sharding takes each process's addressable shards
+    batch = shard_batch(_random_batch(cfg, global_bs), mesh)
+    train_step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    state, aux = train_step(state, batch, jax.random.PRNGKey(1))
+    loss = float(aux["loss"])  # replicated -> addressable on every process
+    assert np.isfinite(loss), loss
+    print(f"MP_OK loss={loss:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

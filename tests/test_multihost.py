@@ -27,3 +27,48 @@ def test_gather_eval_empty_preds():
     out_sums, out_preds = gather_eval({"n_batch": 0.0}, [])
     assert out_sums == {"n_batch": 0.0}
     assert out_preds == []
+
+
+def test_two_process_cluster_train_step_and_gather(tmp_path):
+    """REAL multi-process coverage: 2 OS processes form a JAX CPU cluster
+    (jax.distributed.initialize, Gloo), run the full DP train step over a
+    cross-process 8-device mesh, and the eval gather merges per-process
+    sums/predictions.  Loss must be identical on both processes."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    root = Path(__file__).resolve().parent.parent
+    worker = root / "tests" / "_mp_worker.py"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [str(root), env.get("PYTHONPATH", "")] if p
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+            cwd=root,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+    losses = [re.search(r"MP_OK loss=([\d.eE+-]+)", o) for o in outs]
+    assert all(losses), outs
+    l0, l1 = (float(m.group(1)) for m in losses)
+    assert l0 == l1, (l0, l1)

@@ -7,12 +7,11 @@ pickles and all-reduces metric dicts on rank 0 (``utils/trn_utils.py``
 sums all-reduce numerically, and the variable-length prediction lists ride
 as length-padded pickled byte arrays.
 
-Scope, tested honestly: these functions run the real multihost code path
-(process_allgather) and are exercised single-process in CI
-(``tests/test_multihost.py``) where process_count()==1 makes the gather an
-identity; a real >1-process run additionally needs
-``jax.distributed.initialize`` (``misc.multihost`` in the CLI), which this
-environment's single host cannot exercise.
+Tested scope (``tests/test_multihost.py``): single-process identity in
+CI, AND a real 2-OS-process JAX CPU cluster (``jax.distributed.initialize``
++ Gloo collectives — the same init path ``misc.multihost`` runs in the
+CLI) where the gather genuinely merges per-process sums/predictions and a
+full DP train step runs over a cross-process global mesh.
 """
 
 from __future__ import annotations
