@@ -175,3 +175,32 @@ def test_sharded_train_step_loss_identical(fixture_dir):
     _, aux_d = step_d(state, shard_batch(dev_batch, mesh), rng, tables.tables)
 
     assert float(aux_h["loss"]) == float(aux_d["loss"])
+
+
+def test_learner_sharded_store_e2e(fixture_dir, tmp_path):
+    """Learner with ds.device_store=shard on a ('data'=4) mesh: tables
+    row-shard over the mesh and the collective gather drives a real
+    train + eval epoch (the P100-at-100GB code path at fixture scale)."""
+    import pytest
+
+    from vog_tpu.train.learner import Learner
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    cfg = small_cfg(
+        fixture_dir,
+        **{
+            "ds.conc_type": "spat",
+            "ds.device_store": "shard",
+            "train.epochs": 1,
+            "misc.tmp_path": str(tmp_path),
+            "misc.mesh_data": 4,
+        },
+    )
+    data = get_data(cfg, cfg.train.bs * 4)
+    learner = Learner("shardstore", data, cfg)
+    assert learner._device_store and learner._store_mesh is not None
+    assert learner._tables["feats"].sharding.spec == ("data",)
+    metrics = learner.fit(epochs=1)
+    assert np.isfinite(metrics["val_loss"])
+    assert 0.0 <= metrics["acc"] <= 1.0

@@ -168,3 +168,22 @@ def test_async_checkpoint_roundtrip(fixture_dir, tmp_path):
         params0,
         jax.tree.map(np.asarray, lrn2.state.params),
     )
+
+
+def test_crash_resume_equals_uninterrupted(fixture_dir, tmp_path):
+    """Failure-recovery equivalence: epoch-boundary crash + resume must
+    reproduce the uninterrupted run bit-for-bit (deterministic data
+    stream keyed on (seed, epoch, idx); dropout rng folded from step)."""
+    lrn_a, _, _ = _learner(fixture_dir, tmp_path / "a", "full", **{"train.epochs": 2})
+    lrn_a.fit()
+    params_a = jax.tree.map(np.asarray, lrn_a.state.params)
+
+    lrn_b1, _, _ = _learner(fixture_dir, tmp_path / "b", "crash", **{"train.epochs": 2})
+    lrn_b1.fit(epochs=1)  # "crash" after epoch 1 (ckpt written at epoch end)
+    lrn_b2, _, _ = _learner(fixture_dir, tmp_path / "b", "crash", **{"train.epochs": 2})
+    lrn_b2.load()
+    lrn_b2.fit(epochs=1)  # resume runs the remaining epoch
+    params_b = jax.tree.map(np.asarray, lrn_b2.state.params)
+
+    assert int(lrn_a.state.step) == int(lrn_b2.state.step)
+    jax.tree.map(np.testing.assert_array_equal, params_a, params_b)

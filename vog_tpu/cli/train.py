@@ -50,6 +50,12 @@ def main(argv=None) -> Dict:
     cfg = get_default_cfg(yml)
     update_from_dict(cfg, overrides)
     post_proc_config(cfg)
+    if cfg.misc.platform:
+        # must precede any backend touch; env JAX_PLATFORMS alone is not
+        # authoritative (site hooks re-pin it)
+        import jax
+
+        jax.config.update("jax_platforms", cfg.misc.platform)
     apply_matmul_precision(cfg)
 
     if cfg.misc.multihost:

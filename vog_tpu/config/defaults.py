@@ -42,8 +42,10 @@ class DsCfg:
     # device-resident feature tables (data/device_store.py): upload the
     # whole feats/seg store to HBM once; batches carry vid_rows and the
     # gather runs inside the jitted step.  auto = on when the table fits
-    # the per-chip budget (GT5-scale yes, P100 full-scale no).
-    device_store: str = "auto"  # auto | on | off
+    # the per-chip budget, replicated on one chip or row-sharded over the
+    # mesh 'data' axis when only the per-shard slice fits (P100-at-100GB).
+    # shard = force row-sharding (collective gather) regardless of size.
+    device_store: str = "auto"  # auto | on | shard | off
     # derived (post_proc_config equivalent):
     num_prop_per_frm: int = 5
     num_cmp: int = 1  # 1 for svsq else ncmp
@@ -115,6 +117,10 @@ class TrainCfg:
 @dataclass
 class MiscCfg:
     tmp_path: str = "tmp"
+    # force a jax platform ("cpu" for virtual-device CPU runs; env
+    # JAX_PLATFORMS alone is not authoritative — site hooks can re-pin it,
+    # only jax.config.update survives).  "" = platform default.
+    platform: str = ""
     mesh_data: int = -1  # -1 = all devices on data axis
     mesh_model: int = 1
     half_feats: bool = False  # store features bf16 in HBM (compute stays fp32)

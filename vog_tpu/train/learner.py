@@ -105,10 +105,10 @@ class Learner:
             # slice fits (P100-at-100GB regime, SURVEY §7 hard part #5)
             fits_rep = fits_device_store(cfg, n_videos)
             fits_shard = n_data > 1 and fits_device_store(cfg, n_videos, n_data)
-            if want == "on" or (
+            if want in ("on", "shard") or (
                 jax.default_backend() == "tpu" and (fits_rep or fits_shard)
             ):
-                shard = not fits_rep and fits_shard
+                shard = want == "shard" or (not fits_rep and fits_shard)
                 dft = DeviceFeatureTables(
                     cfg, store, self.mesh, half=cfg.misc.half_feats, shard=shard
                 )
