@@ -49,11 +49,17 @@ def main() -> None:
     cfg = _cfg(tiny=False)
     cfg.misc.mesh_data = 1  # single-chip benchmark (pairs/sec/chip)
     cfg.misc.mesh_model = 1
-    # BENCH_PRECISION=default gives the bf16-MXU production number; the
-    # driver-run headline stays strict-parity fp32 (highest)
+    # BENCH_PRECISION=default gives the bf16-MXU production number and
+    # BENCH_CONC=temp|sep|svsq the other concat strategies; the driver-run
+    # headline stays strict-parity fp32 (highest) SPAT
     cfg.misc.matmul_precision = os.environ.get(
         "BENCH_PRECISION", cfg.misc.matmul_precision
     )
+    if os.environ.get("BENCH_CONC"):
+        from vog_tpu.config import post_proc_config
+
+        cfg.ds.conc_type = os.environ["BENCH_CONC"]
+        post_proc_config(cfg)
     apply_matmul_precision(cfg)
     mesh = make_mesh(cfg)
 
@@ -86,7 +92,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "vognet_spat_gt5_train_throughput",
+                "metric": f"vognet_{cfg.ds.conc_type}_gt5_train_throughput",
                 "value": round(pps, 2),
                 "unit": "query_clip_pairs_per_sec_per_chip",
                 "vs_baseline": round(pps / REF_PAIRS_PER_SEC, 3),

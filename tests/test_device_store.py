@@ -204,3 +204,32 @@ def test_learner_sharded_store_e2e(fixture_dir, tmp_path):
     metrics = learner.fit(epochs=1)
     assert np.isfinite(metrics["val_loss"])
     assert 0.0 <= metrics["acc"] <= 1.0
+
+
+def test_half_tables_roundtrip():
+    """half=True stores bf16 tables; gather casts back to f32 with at
+    most bf16 quantization error."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.asarray(jax.devices()[:1]).reshape(1, 1)
+    mesh = Mesh(devs, ("data", "model"))
+    rng = np.random.default_rng(1)
+    feats = rng.normal(size=(4, 2, 3, 8)).astype(np.float32)
+    seg = rng.normal(size=(4, 2, 6)).astype(np.float32)
+    tables = {
+        "feats": jax.device_put(
+            feats.astype(jax.numpy.bfloat16), NamedSharding(mesh, P())
+        ),
+        "seg": jax.device_put(
+            seg.astype(jax.numpy.bfloat16), NamedSharding(mesh, P())
+        ),
+    }
+    rows = np.asarray([[0, 3], [2, 1]], np.int32)
+    out = gather_from_tables({"vid_rows": jax.numpy.asarray(rows)}, tables)
+    assert out["props"].dtype == jax.numpy.float32
+    np.testing.assert_allclose(
+        np.asarray(out["props"]), feats[rows], rtol=8e-3, atol=8e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["seg_feats"]), seg[rows], rtol=8e-3, atol=8e-3
+    )
