@@ -70,3 +70,29 @@ def test_state_dict_covers_all_params():
     missing, unexpected = twin.load_state_dict(sd, strict=False)
     assert not missing, missing
     assert not unexpected, unexpected
+
+
+@pytest.mark.parametrize("variant", ["img_grnd", "vid_grnd"])
+def test_baseline_twin_forward_parity(variant):
+    """ImgGrnd / VidGrnd twins: same conversion + forward parity."""
+    from vog_tpu.interop import detect_variant
+
+    cfg = _cfg(tiny=True)
+    cfg.mdl.name = variant
+    cfg.mdl.dropout = 0.0
+    B = 2
+    state = init_state(cfg, _glove(cfg, 400), jax.random.PRNGKey(0), B)
+    assert detect_variant(state.params) == variant
+
+    batch = {k: jax.numpy.asarray(v) for k, v in _random_batch(cfg, B, seed=5).items()}
+    clip = assemble_batch(batch, cfg.ds.conc_type)
+    flax_logits = np.asarray(
+        state.apply_fn({"params": state.params}, clip, deterministic=True)
+    )
+    twin = TorchVOGNet(cfg, vocab_size=400, emb_dim=cfg.mdl.emb_dim, variant=variant)
+    twin.load_state_dict(flax_params_to_torch(state.params), strict=True)
+    twin.eval()
+    with torch.no_grad():
+        torch_logits = twin(_clip_to_torch(clip)).numpy()
+    scale = np.abs(flax_logits).max()
+    assert np.abs(flax_logits - torch_logits).max() <= 2e-4 * max(scale, 1.0)

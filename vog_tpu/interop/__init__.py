@@ -1,3 +1,7 @@
-from vog_tpu.interop.torch_twin import TorchVOGNet, flax_params_to_torch
+from vog_tpu.interop.torch_twin import (
+    TorchVOGNet,
+    detect_variant,
+    flax_params_to_torch,
+)
 
-__all__ = ["TorchVOGNet", "flax_params_to_torch"]
+__all__ = ["TorchVOGNet", "detect_variant", "flax_params_to_torch"]

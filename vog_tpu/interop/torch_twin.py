@@ -99,11 +99,12 @@ class TorchVOGNet(nn.Module):
     ``flax_params_to_torch(params)`` -> ``load_state_dict``.
     """
 
-    def __init__(self, cfg, vocab_size: int, emb_dim: int):
+    def __init__(self, cfg, vocab_size: int, emb_dim: int, variant: str = "vog"):
         super().__init__()
         m = cfg.mdl
         D, H2 = m.vis_dim, 2 * m.lstm_dim
         self.D, self.A_heads = D, m.n_heads
+        self.variant = variant  # img_grnd | vid_grnd | vog
         self.embed = nn.Embedding(vocab_size, emb_dim)
         self.lstm = nn.LSTM(
             emb_dim, m.lstm_dim, batch_first=True, bidirectional=True
@@ -113,17 +114,19 @@ class TorchVOGNet(nn.Module):
         self.q_proj = nn.Linear(H2, D)
         self.prop_proj = nn.Linear(cfg.ds.prop_dim + 5, D)
         self.seg_proj = nn.Linear(cfg.ds.seg_dim, D)
-        self.obj_layers = nn.ModuleList(
-            _TxLayer(D, m.n_heads, m.ff_mult, False, m.rpe_max_dist)
-            for _ in range(m.obj_tx_layers)
-        )
-        self.mm_proj_vis = nn.Linear(D, D)
-        self.mm_proj_arg = nn.Linear(D, D, bias=False)
-        self.mm_layers = nn.ModuleList(
-            _TxLayer(D, m.n_heads, m.ff_mult, True, m.rpe_max_dist)
-            for _ in range(m.mm_tx_layers)
-        )
-        self.mm_head = nn.Linear(D, 1)
+        if variant in ("vid_grnd", "vog"):
+            self.obj_layers = nn.ModuleList(
+                _TxLayer(D, m.n_heads, m.ff_mult, False, m.rpe_max_dist)
+                for _ in range(m.obj_tx_layers)
+            )
+        if variant == "vog":
+            self.mm_proj_vis = nn.Linear(D, D)
+            self.mm_proj_arg = nn.Linear(D, D, bias=False)
+            self.mm_layers = nn.ModuleList(
+                _TxLayer(D, m.n_heads, m.ff_mult, True, m.rpe_max_dist)
+                for _ in range(m.mm_tx_layers)
+            )
+            self.mm_head = nn.Linear(D, 1)
         # grounding head (cross-MLP fusion; param names match the flax head)
         self.fuse_vis = nn.Linear(D, D)
         self.fuse_lang = nn.Linear(D, D, bias=False)
@@ -173,10 +176,21 @@ class TorchVOGNet(nn.Module):
         vis = vis + seg[:, clip["frame_ids"]]  # (B,T,D)
 
         mask, fr = clip["mask"], clip["frame_ids"]
-        x = vis + sinusoidal_pe(fr, self.D)[None]
-        for layer in self.obj_layers:
-            x = layer(x, mask, fr)
-        vis = x
+        if self.variant in ("vid_grnd", "vog"):
+            x = vis + sinusoidal_pe(fr, self.D)[None]
+            for layer in self.obj_layers:
+                x = layer(x, mask, fr)
+            vis = x
+
+        cross = vis[:, None] * arg[:, :, None]
+        h = torch.relu(
+            self.fuse_vis(vis)[:, None]
+            + self.fuse_lang(arg)[:, :, None]
+            + self.fuse_cross(cross)
+        )
+        logits = self.head2(torch.relu(self.head1(h)))[..., 0]
+        if self.variant != "vog":
+            return logits
 
         B, T, D = vis.shape
         A = arg.shape[1]
@@ -187,15 +201,23 @@ class TorchVOGNet(nn.Module):
         for layer in self.mm_layers:
             tok = layer(tok, mask_a, fr)
         mm = tok.view(B, A, T, D)
-
-        cross = vis[:, None] * arg[:, :, None]
-        h = torch.relu(
-            self.fuse_vis(vis)[:, None]
-            + self.fuse_lang(arg)[:, :, None]
-            + self.fuse_cross(cross)
-        )
-        logits = self.head2(torch.relu(self.head1(h)))[..., 0]
         return logits + self.mm_head(torch.relu(mm))[..., 0]
+
+
+def _detect_variant_flat(flat) -> str:
+    if ("mm_proj_vis", "kernel") in flat:
+        return "vog"
+    if ("obj_tx", "layer0", "attn", "qkv", "kernel") in flat:
+        return "vid_grnd"
+    return "img_grnd"
+
+
+def detect_variant(params: Dict) -> str:
+    """Which model zoo member a flax param tree belongs to
+    (img_grnd | vid_grnd | vog) — pass as TorchVOGNet's ``variant``."""
+    from flax import traverse_util
+
+    return _detect_variant_flat(traverse_util.flatten_dict(params))
 
 
 def _lin(flat, prefix):
@@ -214,6 +236,12 @@ def flax_params_to_torch(params: Dict) -> Dict[str, torch.Tensor]:
     flat = {
         k: np.asarray(v) for k, v in traverse_util.flatten_dict(params).items()
     }
+    variant = _detect_variant_flat(flat)
+    if ("head", "fuse_vis_kernel") not in flat:
+        raise ValueError(
+            "param tree uses a non-default grounding head (mdl.head_type) — "
+            "the torch twin covers the reference-faithful cross-MLP head"
+        )
     sd: Dict[str, torch.Tensor] = {}
 
     def put(name, prefix):
@@ -261,18 +289,19 @@ def flax_params_to_torch(params: Dict) -> Dict[str, torch.Tensor]:
         put(f"{name}.{i}.ff1", base + ("ff1",))
         put(f"{name}.{i}.ff2", base + ("ff2",))
 
-    i = 0
-    while ("obj_tx", f"layer{i}", "attn", "qkv", "kernel") in flat:
-        tx("obj_layers", "obj_tx", i, relative=False)
-        i += 1
-    i = 0
-    while ("mm_tx", f"layer{i}", "attn", "qkv", "kernel") in flat:
-        tx("mm_layers", "mm_tx", i, relative=True)
-        i += 1
-
-    put("mm_proj_vis", ("mm_proj_vis",))
-    put("mm_proj_arg", ("mm_proj_arg",))
-    put("mm_head", ("mm_head",))
+    if variant in ("vid_grnd", "vog"):
+        i = 0
+        while ("obj_tx", f"layer{i}", "attn", "qkv", "kernel") in flat:
+            tx("obj_layers", "obj_tx", i, relative=False)
+            i += 1
+    if variant == "vog":
+        i = 0
+        while ("mm_tx", f"layer{i}", "attn", "qkv", "kernel") in flat:
+            tx("mm_layers", "mm_tx", i, relative=True)
+            i += 1
+        put("mm_proj_vis", ("mm_proj_vis",))
+        put("mm_proj_arg", ("mm_proj_arg",))
+        put("mm_head", ("mm_head",))
     # grounding head: raw-param names (grounding.GroundingHead)
     sd["fuse_vis.weight"] = torch.from_numpy(
         np.asarray(flat[("head", "fuse_vis_kernel")]).T.copy()
