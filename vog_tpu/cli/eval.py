@@ -35,6 +35,12 @@ def main(argv=None):
     cfg = get_default_cfg(yml)
     update_from_dict(cfg, overrides)
     post_proc_config(cfg)
+    if cfg.misc.platform:
+        # same authoritative pin as cli/train.py (env alone is overridden
+        # by site hooks)
+        import jax
+
+        jax.config.update("jax_platforms", cfg.misc.platform)
     apply_matmul_precision(cfg)
 
     if pred_file:
