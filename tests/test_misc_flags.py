@@ -58,3 +58,41 @@ def test_vocab_npz_roundtrip(tmp_path, rng):
     assert v2.itos == v.itos
     np.testing.assert_array_equal(v2.vectors, v.vectors)
     assert v2.encode(["beta", "zzz"]) == [v.stoi["beta"], 1]
+
+
+def test_eval_every_skips_intermediate_evals(fixture_dir, tmp_path, monkeypatch):
+    """train.eval_every=3: only epochs 0 and the final epoch validate in a
+    4-epoch fit; metric jsonl carries exactly those records."""
+    import json as _json
+    from pathlib import Path
+
+    from tests.conftest import small_cfg
+    from vog_tpu.data import get_data
+    from vog_tpu.train import Learner, make_mesh
+
+    cfg = small_cfg(
+        fixture_dir,
+        **{
+            "mdl.name": "img_grnd",
+            "ds.conc_type": "svsq",
+            "train.bs": 4,
+            "train.epochs": 4,
+            "train.eval_every": 3,
+            "misc.mesh_data": 1,
+            "train.log_every": 1000,
+        },
+    )
+    cfg.misc.tmp_path = str(tmp_path / "tmp")
+    mesh = make_mesh(cfg)
+    data = get_data(cfg, cfg.train.bs)
+    lrn = Learner("evev", data, cfg, mesh=mesh)
+    m = lrn.fit()
+    assert "acc" in m  # final epoch always evaluated
+    recs = [
+        _json.loads(l)
+        for l in (Path(cfg.misc.tmp_path) / "ext_logs" / "evev.jsonl")
+        .read_text()
+        .strip()
+        .split("\n")
+    ]
+    assert [r["epoch"] for r in recs] == [0, 3]

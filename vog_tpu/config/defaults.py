@@ -112,6 +112,9 @@ class TrainCfg:
     # best / final saves always block until durable
     async_ckpt: bool = True
     num_eval_batches: int = 0  # 0 = all
+    # validate every N epochs (1 = reference behavior: every epoch); the
+    # final epoch always validates so fit() returns real metrics
+    eval_every: int = 1
 
 
 @dataclass

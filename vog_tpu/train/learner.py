@@ -260,7 +260,7 @@ class Learner:
         # sample idx), so the sampling stream is position-independent)
         self.data.train_dl.epoch = self.epoch
         skip = self.batch_in_epoch
-        for _ in range(epochs):
+        for ep_i in range(epochs):
             t0 = time.time()
             n_seen = 0
             profiling = False
@@ -303,19 +303,31 @@ class Learner:
                 jax.profiler.stop_trace()
             dt = time.time() - t0
             pairs = n_seen * self.cfg.ds.num_cmp
-            metrics = self.validate()
-            metrics.update(
-                epoch=self.epoch,
-                train_time_s=round(dt, 2),
-                pairs_per_sec=round(pairs / max(dt, 1e-9), 2),
+            # eval cadence: every eval_every epochs + always the last, so
+            # fit() returns real metrics (reference validates every epoch)
+            do_eval = (
+                ep_i == epochs - 1
+                or self.epoch % max(cfg.train.eval_every, 1) == 0
             )
-            self.log(f"ep {self.epoch} metrics {metrics}")
-            self.log_json(metrics)
+            if do_eval:
+                metrics = self.validate()
+                metrics.update(
+                    epoch=self.epoch,
+                    train_time_s=round(dt, 2),
+                    pairs_per_sec=round(pairs / max(dt, 1e-9), 2),
+                )
+                self.log(f"ep {self.epoch} metrics {metrics}")
+                self.log_json(metrics)
+            else:
+                self.log(
+                    f"ep {self.epoch} done in {dt:.1f}s "
+                    f"(eval skipped; eval_every={cfg.train.eval_every})"
+                )
             skip = 0
             self.batch_in_epoch = 0
             self.epoch += 1  # ckpt meta records the next epoch to run
             self.save("last")
-            if metrics["acc"] > self.best_metric:
+            if do_eval and metrics["acc"] > self.best_metric:
                 self.best_metric = metrics["acc"]
                 self.save("best")
         self.wait_for_checkpoints()
