@@ -2,6 +2,7 @@
 
 from pathlib import Path
 
+import jax
 import numpy as np
 
 from tests.conftest import small_cfg
@@ -96,3 +97,50 @@ def test_eval_every_skips_intermediate_evals(fixture_dir, tmp_path, monkeypatch)
         .split("\n")
     ]
     assert [r["epoch"] for r in recs] == [0, 3]
+
+
+def test_skip_nonfinite_updates(fixture_dir):
+    """train.skip_nonfinite: a batch that produces non-finite grads leaves
+    params and step-progress usable (update dropped), and a following good
+    batch trains normally."""
+    import jax.numpy as jnp
+
+    from tests.conftest import small_cfg
+    from vog_tpu.data import get_data
+    from vog_tpu.train.dist import make_mesh, shard_batch
+    from vog_tpu.train.state import init_state, make_train_step
+
+    cfg = small_cfg(
+        fixture_dir,
+        **{
+            "mdl.name": "img_grnd",
+            "ds.conc_type": "svsq",
+            "train.bs": 2,
+            "train.skip_nonfinite": 5,
+            "misc.mesh_data": 1,
+        },
+    )
+    mesh = make_mesh(cfg)
+    data = get_data(cfg, cfg.train.bs)
+    state = init_state(cfg, data.vocab.vectors, jax.random.PRNGKey(0), cfg.train.bs)
+    step = jax.jit(make_train_step(cfg))
+    rng = jax.random.PRNGKey(1)
+
+    good = next(iter(data.train_dl))
+    bad = {k: np.copy(v) for k, v in good.items()}
+    bad["props"] = np.full_like(bad["props"], np.inf)
+
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, aux = step(state, shard_batch(bad, mesh), rng)
+    assert not np.isfinite(float(aux["loss"]))  # loss reports the blow-up
+    p1 = jax.tree.map(np.asarray, state.params)
+    jax.tree.map(np.testing.assert_array_equal, p0, p1)  # update dropped
+
+    state, aux = step(state, shard_batch(good, mesh), rng)
+    assert np.isfinite(float(aux["loss"]))
+    p2 = jax.tree.map(np.asarray, state.params)
+    # good step actually updated
+    changed = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(np.abs(a - b).max()), p1, p2)
+    )
+    assert max(changed) > 0

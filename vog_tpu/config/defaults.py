@@ -111,6 +111,11 @@ class TrainCfg:
     # so the step loop never stalls on filesystem writes; epoch-end /
     # best / final saves always block until durable
     async_ckpt: bool = True
+    # >0: drop non-finite gradient updates (optax.apply_if_finite) instead
+    # of poisoning the weights; value = max consecutive dropped steps
+    # before optax hard-stops.  0 keeps strict reference behavior (a NaN
+    # propagates and misc.check_nans aborts the run at the next log).
+    skip_nonfinite: int = 0
     num_eval_batches: int = 0  # 0 = all
     # validate every N epochs (1 = reference behavior: every epoch); the
     # final epoch always validates so fit() returns real metrics

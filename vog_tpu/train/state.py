@@ -45,7 +45,14 @@ def make_optimizer(cfg: Cfg) -> optax.GradientTransformation:
         steps.append(optax.adamw(lr, weight_decay=t.wd))
     else:
         steps.append(optax.adam(lr))
-    return optax.chain(*steps)
+    tx = optax.chain(*steps)
+    if t.skip_nonfinite > 0:
+        # production guard: a non-finite grad step is dropped (params and
+        # opt state unchanged) instead of poisoning the weights; aborts
+        # after skip_nonfinite consecutive bad steps.  Off by default for
+        # strict reference parity (the reference has no such guard).
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=t.skip_nonfinite)
+    return tx
 
 
 def build_model(cfg: Cfg, glove: np.ndarray):
