@@ -144,3 +144,39 @@ def test_skip_nonfinite_updates(fixture_dir):
         jax.tree.map(lambda a, b: float(np.abs(a - b).max()), p1, p2)
     )
     assert max(changed) > 0
+
+
+def test_skip_nonfinite_learner_run_continues(fixture_dir, tmp_path):
+    """A poisoned sample (inf features) under train.skip_nonfinite: the
+    Learner logs the dropped update instead of raising (check_nans stays
+    on) and finishes the epoch with finite eval metrics."""
+    from tests.conftest import small_cfg
+    from vog_tpu.data import get_data
+    from vog_tpu.train import Learner, make_mesh
+
+    cfg = small_cfg(
+        fixture_dir,
+        **{
+            "mdl.name": "img_grnd",
+            "ds.conc_type": "svsq",
+            "train.bs": 4,
+            "train.epochs": 1,
+            "train.skip_nonfinite": 100,
+            "train.log_every": 1,  # log every step so NaN losses are seen
+            "misc.mesh_data": 1,
+        },
+    )
+    cfg.misc.tmp_path = str(tmp_path / "tmp")
+    assert cfg.misc.check_nans
+    mesh = make_mesh(cfg)
+    data = get_data(cfg, cfg.train.bs)
+    store = data.train_dl.ds.store
+    vid = next(v for v in store.videos() if v.startswith("tr"))
+    feats, boxes, scores, seg = store._cache[vid]
+    store._cache[vid] = (np.full_like(feats, np.inf), boxes, scores, seg)
+
+    lrn = Learner("nfr", data, cfg, mesh=mesh)
+    m = lrn.fit()  # must not raise FloatingPointError
+    assert np.isfinite(m["val_loss"])
+    log = (tmp_path / "tmp" / "txt_logs" / "nfr.txt").read_text()
+    assert "update dropped by skip_nonfinite" in log

@@ -289,11 +289,21 @@ class Learner:
                     self.save("last", blocking=not cfg.train.async_ckpt)
                 if (i + 1) % cfg.train.log_every == 0 or i == 0:
                     loss = float(aux["loss"])
-                    if cfg.misc.check_nans and not np.isfinite(loss):
-                        raise FloatingPointError(
-                            f"non-finite loss {loss} at ep {self.epoch} it {i} "
-                            f"(grad_norm={float(aux['grad_norm'])})"
-                        )
+                    if not np.isfinite(loss):
+                        # with the skip_nonfinite guard the bad update was
+                        # dropped — note it and continue; otherwise the
+                        # weights are poisoned and the run must abort
+                        if cfg.train.skip_nonfinite > 0:
+                            self.log(
+                                f"ep {self.epoch} it {i} non-finite loss "
+                                "(update dropped by skip_nonfinite)"
+                            )
+                            continue
+                        if cfg.misc.check_nans:
+                            raise FloatingPointError(
+                                f"non-finite loss {loss} at ep {self.epoch} "
+                                f"it {i} (grad_norm={float(aux['grad_norm'])})"
+                            )
                     smooth.add_value(loss)
                     self.log(
                         f"ep {self.epoch} it {i} loss {loss:.4f} "
