@@ -8,7 +8,10 @@ host overhead over the compute-only floor:
 
   host_stall_pct = (t_e2e - t_compute) / t_e2e
 
-Usage:  python tools/bench_input.py [gt5|p100] [batch] [data_dir] [host|device]
+Usage:  python tools/bench_input.py [gt5|p100] [batch] [data_dir] [host|device] [highest|default]
+
+The 5th arg selects matmul precision; ``default`` additionally stores the
+device tables bf16 (misc.half_feats) — the production configuration.
 
 ``device`` benches the device-resident feature-table path
 (data/device_store.py): batches carry vid_rows and the feature gather
@@ -42,6 +45,7 @@ def main():
     B = int(sys.argv[2]) if len(sys.argv) > 2 else (16 if exp == "gt5" else 2)
     data_dir = sys.argv[3] if len(sys.argv) > 3 else "data/asrl"
     mode = sys.argv[4] if len(sys.argv) > 4 else "host"
+    precision = sys.argv[5] if len(sys.argv) > 5 else "highest"
 
     cfg = _cfg(tiny=False)
     cfg.ds.exp_setting = exp
@@ -49,6 +53,9 @@ def main():
     post_proc_config(cfg)
     cfg.misc.mesh_data = 1
     cfg.misc.mesh_model = 1
+    cfg.misc.matmul_precision = precision
+    if precision == "default":
+        cfg.misc.half_feats = True  # bf16 tables + transfers (production)
     apply_matmul_precision(cfg)
     mesh = make_mesh(cfg)
 
@@ -59,7 +66,7 @@ def main():
     if mode == "device":
         from vog_tpu.data.device_store import DeviceFeatureTables
 
-        dft = DeviceFeatureTables(cfg, data.train_dl.ds.store, mesh)
+        dft = DeviceFeatureTables(cfg, data.train_dl.ds.store, mesh, half=cfg.misc.half_feats)
         data.train_dl.ds.device_rows = dft.rows
         tables = dft.tables
         store_kind += "+device"
@@ -71,7 +78,7 @@ def main():
     # compile + one resident batch for the compute floor
     print("building first batch...", flush=True)
     it = iter(data.train_dl)
-    first = shard_batch(next(it), mesh)
+    first = shard_batch(next(it), mesh, cfg.misc.half_feats)
     print("compiling...", flush=True)
     for _ in range(3):
         state, aux = step(state, first, rng)
