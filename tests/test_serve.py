@@ -47,3 +47,37 @@ def test_predictor_from_checkpoint(fixture_dir, tmp_path):
     # determinism
     out2 = pred(batch)
     np.testing.assert_allclose(out["scores"], out2["scores"])
+
+
+def test_predictor_device_store(fixture_dir):
+    """Predictor with device-resident tables: a vid_rows request scores
+    identically to the same request carrying the full feature arrays."""
+    import jax
+
+    from vog_tpu.data.device_store import DeviceFeatureTables
+    from vog_tpu.train.state import init_state
+
+    cfg = small_cfg(
+        fixture_dir,
+        **{"mdl.name": "img_grnd", "ds.conc_type": "spat", "misc.mesh_data": 1},
+    )
+    data = get_data(cfg, global_batch_size=2)
+    state = init_state(cfg, data.vocab.vectors, jax.random.PRNGKey(0), 2)
+
+    ds = data.valid_dl.ds
+    full_batch = next(iter(data.valid_dl))  # carries props/seg_feats
+
+    tables = DeviceFeatureTables(cfg, ds.store)
+    ds.device_rows = tables.rows
+    data.valid_dl.epoch = 0  # replay the same deterministic eval groups
+    rows_batch = next(iter(data.valid_dl))  # carries vid_rows
+    assert "vid_rows" in rows_batch and "props" not in rows_batch
+
+    pred_full = Predictor(cfg, state.params, data.vocab.vectors)
+    pred_rows = Predictor(
+        cfg, state.params, data.vocab.vectors, tables=tables.tables
+    )
+    out_full = pred_full(full_batch)
+    out_rows = pred_rows(rows_batch)
+    np.testing.assert_array_equal(out_full["scores"], out_rows["scores"])
+    np.testing.assert_array_equal(out_full["pred_vid"], out_rows["pred_vid"])

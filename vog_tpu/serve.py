@@ -27,13 +27,24 @@ from vog_tpu.train.state import build_model, init_state
 
 
 class Predictor:
-    def __init__(self, cfg: Cfg, params, glove: np.ndarray):
+    """``tables``: optional device-resident feature tables
+    (vog_tpu/data/device_store.py).  When set, request batches may carry
+    ``vid_rows`` instead of props/seg_feats — the gather happens inside
+    the jitted call, so a GT5 request shrinks from ~34 MB of features to
+    a few KB of metadata."""
+
+    def __init__(self, cfg: Cfg, params, glove: np.ndarray, tables=None):
         self.cfg = cfg
         self.model = build_model(cfg, glove)
         self.params = params
+        self.tables = tables
         conc = cfg.ds.conc_type
 
-        def _predict(params, batch):
+        def _predict(params, batch, tables=None):
+            if tables is not None and "vid_rows" in batch:
+                from vog_tpu.data.device_store import gather_from_tables
+
+                batch = gather_from_tables(batch, tables)
             clip = assemble_batch(batch, conc)
             logits = self.model.apply({"params": params}, clip, deterministic=True)
             B, V, F, P = batch["prop_mask"].shape
@@ -59,7 +70,7 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(
-        cls, cfg: Cfg, glove: np.ndarray, ckpt_path: str | Path
+        cls, cfg: Cfg, glove: np.ndarray, ckpt_path: str | Path, tables=None
     ) -> "Predictor":
         # template state for structure, then restore params
         state = init_state(cfg, glove, jax.random.PRNGKey(0), batch_size=1)
@@ -70,8 +81,12 @@ class Predictor:
             "step": state.step,
         }
         restored = ckptr.restore(Path(ckpt_path).absolute(), target)
-        return cls(cfg, restored["params"], glove)
+        return cls(cfg, restored["params"], glove, tables=tables)
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        out = self._predict(self.params, {k: jnp.asarray(v) for k, v in batch.items()})
+        out = self._predict(
+            self.params,
+            {k: jnp.asarray(v) for k, v in batch.items()},
+            self.tables,
+        )
         return {k: np.asarray(v) for k, v in out.items()}
