@@ -75,23 +75,66 @@ class DeviceFeatureTables:
         self.rows: Dict[str, int] = {v: i for i, v in enumerate(vids)}
         n = len(vids)
         self.sharded = bool(shard and mesh is not None and mesh.shape["data"] > 1)
-        if self.sharded:  # pad rows so each 'data' shard is equal-sized
-            nd = mesh.shape["data"]
-            n = ((n + nd - 1) // nd) * nd
-        feats = np.zeros((n, F, P, ds.prop_dim), np.float32)
-        seg = np.zeros((n, F, ds.seg_dim), np.float32)
-        for i, v in enumerate(vids):
-            fv, _, _, sv = store.get(v)
-            fi, pi = min(fv.shape[0], F), min(fv.shape[1], P)
-            feats[i, :fi, :pi] = fv[:fi, :pi]
-            seg[i, : min(sv.shape[0], F)] = sv[:F]
         dtype = jax.numpy.bfloat16 if half else jax.numpy.float32
-        host = {"feats": feats, "seg": seg}
+        shapes = {
+            "feats": (F, P, ds.prop_dim),
+            "seg": (F, ds.seg_dim),
+        }
+
+        def fill(dst, row0, row1):
+            # read ONLY rows [row0, row1) from the store (at 100 GB scale
+            # each host touches just its slice of the dataset)
+            for i in range(row0, min(row1, len(vids))):
+                fv, _, _, sv = store.get(vids[i])
+                fi, pi = min(fv.shape[0], F), min(fv.shape[1], P)
+                dst["feats"][i - row0, :fi, :pi] = fv[:fi, :pi]
+                dst["seg"][i - row0, : min(sv.shape[0], F)] = sv[:F]
+
+        if self.sharded:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            nd = mesh.shape["data"]
+            n = ((n + nd - 1) // nd) * nd  # equal-sized row shards
+            sharding = NamedSharding(mesh, PartitionSpec("data"))
+            # build per-addressable-shard: never materialize the full
+            # table on the host, and fetch only locally-owned rows (the
+            # 'model' axis replicates a row range across several devices)
+            idx_map = sharding.addressable_devices_indices_map(
+                (n,) + shapes["feats"]
+            )
+            built: Dict[tuple, Dict[str, np.ndarray]] = {}
+            for dev, idx in idx_map.items():
+                sl = idx[0]
+                key = (sl.start, sl.stop)
+                if key not in built:
+                    local = {
+                        k: np.zeros((sl.stop - sl.start,) + s, np.float32)
+                        for k, s in shapes.items()
+                    }
+                    fill(local, sl.start, sl.stop)
+                    built[key] = local
+            self.tables = {}
+            for k, shp in shapes.items():
+                per_dev = [
+                    jax.device_put(
+                        built[(idx[0].start, idx[0].stop)][k].astype(dtype), dev
+                    )
+                    for dev, idx in idx_map.items()
+                ]
+                self.tables[k] = jax.make_array_from_single_device_arrays(
+                    (n,) + shp, sharding, per_dev
+                )
+            return
+
+        host = {
+            "feats": np.zeros((n,) + shapes["feats"], np.float32),
+            "seg": np.zeros((n,) + shapes["seg"], np.float32),
+        }
+        fill(host, 0, n)
         if mesh is not None and not mesh.empty:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            spec = PartitionSpec("data") if self.sharded else PartitionSpec()
-            sharding = NamedSharding(mesh, spec)
+            sharding = NamedSharding(mesh, PartitionSpec())  # replicated
             self.tables = {
                 k: jax.device_put(v.astype(dtype), sharding)
                 for k, v in host.items()
