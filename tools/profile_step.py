@@ -46,6 +46,10 @@ def main():
     post_proc_config(cfg)
     cfg.misc.mesh_data = 1
     cfg.misc.mesh_model = 1
+    # PROFILE_PRECISION=default profiles the bf16-MXU production step
+    cfg.misc.matmul_precision = os.environ.get(
+        "PROFILE_PRECISION", cfg.misc.matmul_precision
+    )
     apply_matmul_precision(cfg)
     mesh = make_mesh(cfg)
 
