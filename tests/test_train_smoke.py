@@ -187,3 +187,28 @@ def test_crash_resume_equals_uninterrupted(fixture_dir, tmp_path):
 
     assert int(lrn_a.state.step) == int(lrn_b2.state.step)
     jax.tree.map(np.testing.assert_array_equal, params_a, params_b)
+
+
+def test_load_across_optimizer_structures(fixture_dir, tmp_path):
+    """A checkpoint trained WITH train.skip_nonfinite (wrapped opt state)
+    restores into a Learner WITHOUT it: params+step recovered exactly,
+    opt state reinitialized (eval/serving exactness)."""
+    lrn, data, _ = _learner(
+        fixture_dir, tmp_path, "xopt",
+        **{"train.epochs": 1, "train.skip_nonfinite": 5},
+    )
+    lrn.fit()
+    params0 = jax.tree.map(np.asarray, lrn.state.params)
+    step0 = int(lrn.state.step)
+    m0 = lrn.validate()
+
+    lrn2, _, _ = _learner(fixture_dir, tmp_path, "xopt", **{"train.epochs": 1})
+    lrn2.load()
+    assert int(lrn2.state.step) == step0
+    jax.tree.map(
+        np.testing.assert_array_equal,
+        params0,
+        jax.tree.map(np.asarray, lrn2.state.params),
+    )
+    m1 = lrn2.validate()
+    assert abs(m0["acc"] - m1["acc"]) < 1e-9

@@ -30,6 +30,7 @@ from vog_tpu.train import Learner, make_mesh
 def main(argv=None):
     uid, overrides, flags = parse_argv(argv if argv is not None else sys.argv[1:])
     split = overrides.pop("split", "valid")
+    tag = overrides.pop("tag", "last")  # e.g. --tag=best
     pred_file = overrides.pop("pred_file", None)
     yml = overrides.pop("cfg", None)
     cfg = get_default_cfg(yml)
@@ -53,9 +54,9 @@ def main(argv=None):
     mesh = make_mesh(cfg)
     data = get_data(cfg, global_batch_size=cfg.train.bs * mesh.shape["data"])
     learner = Learner(uid, data, cfg, mesh=mesh)
-    ckpt = Path(cfg.misc.tmp_path) / "models" / uid / "last"
+    ckpt = Path(cfg.misc.tmp_path) / "models" / uid / tag
     if ckpt.exists():
-        learner.load()
+        learner.load(tag=tag)
     else:
         learner.log(f"no checkpoint at {ckpt}; evaluating fresh init")
     m = learner.testing() if split == "test" else learner.validate()

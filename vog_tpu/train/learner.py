@@ -230,11 +230,32 @@ class Learner:
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
-        restored = ckptr.restore(ckpt_path, target)
+        try:
+            restored = ckptr.restore(ckpt_path, target)
+            params, opt_state = restored["params"], restored["opt_state"]
+            step = restored["step"]
+        except BaseException:
+            # optimizer-structure mismatch (e.g. the ckpt was trained with
+            # train.skip_nonfinite's apply_if_finite wrapper and this run
+            # isn't, or vice versa): fall back to params+step only — exact
+            # for eval/serving; training resume restarts optimizer moments
+            from vog_tpu.train.dist import param_shardings
+
+            raw = ckptr.restore(ckpt_path)  # raw tree, no structure target
+            shardings = param_shardings(self.mesh, self.state.params)
+            params = jax.tree.map(
+                lambda s, v: jax.device_put(np.asarray(v), s),
+                shardings,
+                raw["params"],
+            )
+            opt_state = self.state.opt_state
+            step = jnp.asarray(raw["step"])
+            self.log(
+                f"ckpt {ckpt_path}: optimizer state structure mismatch — "
+                "restored params+step only (opt state reinitialized)"
+            )
         self.state = self.state.replace(
-            params=restored["params"],
-            opt_state=restored["opt_state"],
-            step=restored["step"],
+            params=params, opt_state=opt_state, step=step
         )
         meta_f = ckpt_path.parent / f"{ckpt_path.name}.meta.json"
         if meta_f.exists():
