@@ -31,6 +31,10 @@ import numpy as np
 
 # measured torch-CPU reference throughput — tools/ref_torch_baseline.py
 REF_PAIRS_PER_SEC = 12.4
+# paper-era single-GPU training ballpark (~2 it/s at batch 16) — an
+# UNVERIFIABLE recall (mount empty, BASELINE.md §3), emitted alongside so
+# the headline multiple can't be read as hardware disparity alone
+GPU_EST_PAIRS_PER_SEC = 128.0
 
 BATCH = 16
 WARMUP = 5
@@ -95,7 +99,13 @@ def main() -> None:
                 "metric": f"vognet_{cfg.ds.conc_type}_gt5_train_throughput",
                 "value": round(pps, 2),
                 "unit": "query_clip_pairs_per_sec_per_chip",
+                # both denominators, labeled (round-2 ADVICE): vs_baseline
+                # divides by the MEASURED torch-CPU reference step on this
+                # host; vs_gpu_estimate by the unverified paper-era GPU
+                # ballpark for context
                 "vs_baseline": round(pps / REF_PAIRS_PER_SEC, 3),
+                "baseline_kind": "torch_cpu_measured_1thread",
+                "vs_gpu_estimate": round(pps / GPU_EST_PAIRS_PER_SEC, 3),
             }
         )
     )

@@ -18,6 +18,9 @@ def test_checkify_clean_and_nan(fixture_dir, tmp_path):
     mesh = make_mesh(cfg)
     data = get_data(cfg, global_batch_size=cfg.train.bs)
     lrn = Learner("ck", data, cfg, mesh=mesh)
+    # host batches: the Learner installs a device_put transform on
+    # train_dl; this test needs to mutate the numpy batch first
+    data.train_dl.transform = None
     batch = next(iter(data.train_dl))
     state, aux = lrn._train_step(lrn.state, shard_batch(batch, mesh), lrn.rng)
     assert np.isfinite(float(aux["loss"]))

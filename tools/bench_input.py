@@ -93,14 +93,16 @@ def main():
     float(aux["loss"])
     t_compute = (time.perf_counter() - t0) / N
 
-    # epoch-style: real batches through getitem + prefetch + shard_batch
+    # epoch-style: real batches through getitem + prefetch + shard_batch.
+    # shard_batch runs in the prefetch worker (loader.transform) exactly
+    # as the Learner wires it, so H2D overlaps the previous step
     print("timing e2e epoch loop...", flush=True)
     del it
     data.train_dl.epoch = 1
+    data.train_dl.transform = lambda b: shard_batch(b, mesh, cfg.misc.half_feats)
     t0 = time.perf_counter()
     n = 0
-    for batch in data.train_dl:
-        sb = shard_batch(batch, mesh, cfg.misc.half_feats)
+    for sb in data.train_dl:
         state, aux = step(state, sb, rng)
         n += 1
         if n >= N:

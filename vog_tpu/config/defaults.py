@@ -120,6 +120,13 @@ class TrainCfg:
     # validate every N epochs (1 = reference behavior: every epoch); the
     # final epoch always validates so fit() returns real metrics
     eval_every: int = 1
+    # per-sample budget of considered (arg, frame) pairs the eval step
+    # extracts ON DEVICE for the predictions payload (kills the bulk
+    # (B,A,F,V*P) candidate-grid fetch).  -1 = auto (2 * max_srl_args —
+    # ASRL annotates each arg in 1-2 frames); 0 = full grids (no
+    # compaction); metrics are exact either way, overflow only truncates
+    # the offline re-scoring payload (and is warned about).
+    eval_max_pairs: int = -1
 
 
 @dataclass

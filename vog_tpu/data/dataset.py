@@ -20,17 +20,21 @@ Output dict (per query; V = ds.num_cmp, F frames, P props/frame, A args,
 L tokens):
   props          (V,F,P,prop_dim) f32   RoI fc6 features
   prop_boxes     (V,F,P,5)       f32   normalized x1,y1,x2,y2,area
-  prop_mask      (V,F,P)         f32   1 = valid proposal
+  prop_mask      (V,F,P)         u8    1 = valid proposal
   seg_feats      (V,F,seg_dim)   f32   TSN segment features
   tokens         (L,)            i32   GloVe ids (0 pad)
   seq_len        ()              i32
   verb_idx       ()              i32   token index of the verb
   srl_roles      (A,)            i32   role-vocab ids (0 pad)
   srl_spans      (A,2)           i32   inclusive token span per arg
-  srl_arg_mask   (A,)            f32   1 = arg present (has GT boxes)
-  targets        (V,A,F,P)       f32   IoU>=0.5 labels (pos video only)
+  srl_arg_mask   (A,)            u8    1 = arg present (has GT boxes)
+  targets        (V,A,F,P)       u8    IoU>=0.5 labels (pos video only)
   gt_boxes       (A,F,4)         f32   normalized GT box per annotated frame
-  gt_frame_mask  (A,F)           f32   1 = arg annotated in this frame
+  gt_frame_mask  (A,F)           u8    1 = arg annotated in this frame
+
+0/1 masks and targets travel as uint8 (4x smaller host->device transfer)
+and are cast to f32 on device at the top of the jitted step
+(``vog_tpu/train/state.py §cast_compact``).
   pos_vid        ()              i32   slot of the positive video in group
   ann_idx        ()              i32
 """
@@ -161,10 +165,10 @@ class AnetSRLDataset:
         w, h = self.store.dims(vid_seg)
         f0, p0 = boxes_abs.shape[0], boxes_abs.shape[1]
         pbox = np.zeros((F, P, 5), np.float32)
-        pmask = np.zeros((F, P), np.float32)
+        pmask = np.zeros((F, P), np.uint8)
         fi, pi = min(f0, F), min(p0, P)
         pbox[:fi, :pi] = normalize_boxes(boxes_abs[:fi, :pi], w, h)
-        pmask[:fi, :pi] = 1.0
+        pmask[:fi, :pi] = 1
         out = (pbox, pmask, boxes_abs[:fi, :pi], (float(w), float(h)))
         self._vid_static_cache[vid_seg] = out
         return out
@@ -209,30 +213,32 @@ class AnetSRLDataset:
         seq_len = np.int32(len(ids))
         verb_idx = np.int32(min(ann["verb_idx"], len(ids) - 1))
 
+        # masks/targets are 0/1 — shipped uint8 (4x smaller H2D; cast to
+        # f32 on device at the top of the jitted step, VERDICT r2 item 1)
         srl_roles = np.zeros((A,), np.int32)
         srl_spans = np.zeros((A, 2), np.int32)
-        srl_arg_mask = np.zeros((A,), np.float32)
+        srl_arg_mask = np.zeros((A,), np.uint8)
         gt_boxes = np.zeros((A, F, 4), np.float32)
-        gt_frame_mask = np.zeros((A, F), np.float32)
-        pos_targets = np.zeros((A, F, P), np.float32)
+        gt_frame_mask = np.zeros((A, F), np.uint8)
+        pos_targets = np.zeros((A, F, P), np.uint8)
 
         for a, arg in enumerate(ann["args"][:A]):
             srl_roles[a] = role_to_id(arg["role"])
             s, e = arg["span"]
             srl_spans[a] = [min(s, L - 1), min(e, L - 1)]
-            srl_arg_mask[a] = 1.0
+            srl_arg_mask[a] = 1
             for bx in arg["boxes"]:
                 fr = int(bx["frame"])
                 if fr >= F:
                     continue
                 gt_abs = np.asarray(bx["box"], np.float32)
                 gt_boxes[a, fr] = normalize_boxes(gt_abs, w, h)[:4]
-                gt_frame_mask[a, fr] = 1.0
+                gt_frame_mask[a, fr] = 1
                 if fr < pos_abs_boxes.shape[0]:
                     ious = iou_matrix(pos_abs_boxes[fr], gt_abs[None])[:, 0]
                     pi = ious.shape[0]
                     pos_targets[a, fr, :pi] = (ious >= IOU_THRESH).astype(
-                        np.float32
+                        np.uint8
                     )
 
         out = {
@@ -265,7 +271,7 @@ class AnetSRLDataset:
 
         on_device = self.device_rows is not None
         pbox = np.zeros((V, F, P, 5), np.float32)
-        pmask = np.zeros((V, F, P), np.float32)
+        pmask = np.zeros((V, F, P), np.uint8)
         for v, g in enumerate(group_anns):
             pb, pm, _, _ = self._vid_static(g["vid_seg"])
             pbox[v], pmask[v] = pb, pm
@@ -294,7 +300,7 @@ class AnetSRLDataset:
             out_feats = {"props": props, "seg_feats": segf}
 
         stat = self._ann_static(idx)
-        targets = np.zeros((V, A, F, P), np.float32)
+        targets = np.zeros((V, A, F, P), np.uint8)
         targets[pos_slot] = stat["pos_targets"]
         return {
             **out_feats,

@@ -62,8 +62,17 @@ def evaluate_batch(
     pos_vid: jnp.ndarray,  # (B,)
     batch_mask: jnp.ndarray,  # (B,)
     prop_mask: jnp.ndarray,  # (B,V,F,P) valid-proposal mask
+    max_pairs: int = 0,
 ) -> Dict[str, jnp.ndarray]:
-    """-> dict of scalar sums + per-pair prediction arrays."""
+    """-> dict of scalar sums + per-pair prediction arrays.
+
+    ``max_pairs`` > 0 switches the per-pair payload to the COMPACT form:
+    instead of full (B,A,F,…) prediction grids + the (B,A,F,V*P)
+    candidate grid, the considered (arg, frame) pairs are selected ON
+    DEVICE into a static (B, max_pairs) budget (VERDICT r2 item 5 — the
+    bulk grids cost ~MBs of device->host transfer per eval batch; only
+    the few considered pairs are ever used).  ``n_overflow`` counts pairs
+    beyond the budget (the scalar sums always cover every pair)."""
     B, A, V, F, P = scores.shape
     considered = (
         gt_frame_mask * srl_arg_mask[:, :, None] * batch_mask[:, None, None]
@@ -104,24 +113,55 @@ def evaluate_batch(
     ).min(axis=-1)
     cons = same * has_pairs
 
-    return {
+    out = {
         "n_pairs": n_pairs,
         "n_acc": n_acc,
         "n_vacc": n_vacc,
         "n_queries": has_pairs.sum(),
         "n_strict": strict.sum(),
         "n_cons": cons.sum(),
-        # per-pair predictions (for the predictions dump)
-        "pred_vid": v_hat,
-        "pred_prop": p_hat,
-        "pred_iou": iou,
-        "considered": considered,
-        # masked candidate grid (B,A,F,V*P) — persisted per considered
-        # pair so saved predictions can be re-scored offline by
-        # ``vog_tpu.evaluation.offline.eval_fun`` (reference
-        # ``eval_fn_corr.py §eval_fun(predictions_file, split)``)
-        "cand_scores": cand,
     }
+    if max_pairs <= 0:
+        # full grids (tests / small-batch debugging)
+        out.update(
+            # per-pair predictions (for the predictions dump)
+            pred_vid=v_hat,
+            pred_prop=p_hat,
+            pred_iou=iou,
+            considered=considered,
+            # masked candidate grid (B,A,F,V*P) — persisted per considered
+            # pair so saved predictions can be re-scored offline by
+            # ``vog_tpu.evaluation.offline.eval_fun`` (reference
+            # ``eval_fn_corr.py §eval_fun(predictions_file, split)``)
+            cand_scores=cand,
+        )
+        return out
+
+    # compact form: gather the considered pairs to the front of a static
+    # (B, K) budget.  argsort of the 0/1 mask is stable in jax, so the
+    # considered pairs keep their (arg-major, frame-minor) order — the
+    # same order the host loop over np.nonzero produced.
+    K = min(max_pairs, A * F)
+    flat_cons = considered.reshape(B, A * F)
+    order = jnp.argsort(-flat_cons, axis=-1)[:, :K]  # (B,K)
+
+    def take(x):
+        return jnp.take_along_axis(x.reshape(B, A * F), order, axis=-1)
+
+    out.update(
+        pair_valid=take(flat_cons),
+        pair_arg=(order // F).astype(jnp.int32),
+        pair_frame=(order % F).astype(jnp.int32),
+        pair_vid=take(v_hat),
+        pair_prop=take(p_hat),
+        pair_iou=take(iou),
+        # (B,K,V*P) candidate slices for the offline re-scoring payload
+        pair_scores=jnp.take_along_axis(
+            cand.reshape(B, A * F, V * P), order[..., None], axis=1
+        ),
+        n_overflow=jnp.maximum(flat_cons.sum() - take(flat_cons).sum(), 0.0),
+    )
+    return out
 
 
 def finalize_metrics(sums: Dict[str, float]) -> Dict[str, float]:

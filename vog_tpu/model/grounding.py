@@ -133,8 +133,22 @@ class ImgGrnd(nn.Module):
         else:
             import jax
 
+            from vog_tpu.kernels.grounding_head import head_kernel_supported
+
+            # decide kernel eligibility HERE with the static dims (din =
+            # D = vis_dim; T from the clip view) — previously only the
+            # backend was checked, so an unsupported-dims config would
+            # skip remat yet fall back to the un-rematted XLA path at
+            # call time, reintroducing the (B,A,T,D) HBM residuals
+            # remat_head exists to drop (round-2 ADVICE)
+            D = self.cfg.mdl.vis_dim
+            T = self.n_frames * self.cfg.ds.num_prop_per_frm * (
+                self.cfg.ds.num_cmp if self.cfg.ds.conc_type == "spat" else 1
+            )
             use_kernel = (
-                self.cfg.mdl.head_kernel and jax.default_backend() == "tpu"
+                self.cfg.mdl.head_kernel
+                and jax.default_backend() == "tpu"
+                and head_kernel_supported(D, D, T)
             )
             # the Pallas kernel recomputes its tiles internally, so remat
             # (which exists to drop the (B,A,T,D) residuals) is redundant

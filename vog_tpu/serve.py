@@ -41,10 +41,13 @@ class Predictor:
         conc = cfg.ds.conc_type
 
         def _predict(params, batch, tables=None):
+            from vog_tpu.train.state import cast_compact
+
             if tables is not None and "vid_rows" in batch:
                 from vog_tpu.data.device_store import gather_from_tables
 
                 batch = gather_from_tables(batch, tables)
+            batch = cast_compact(batch)  # uint8 masks -> f32 (inside jit)
             clip = assemble_batch(batch, conc)
             logits = self.model.apply({"params": params}, clip, deterministic=True)
             B, V, F, P = batch["prop_mask"].shape

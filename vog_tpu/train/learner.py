@@ -16,6 +16,7 @@ step); predictions pickle kept (same role as the reference's
 from __future__ import annotations
 
 import json
+import os
 import pickle
 import time
 from pathlib import Path
@@ -61,6 +62,10 @@ class Learner:
         self.data = data
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg)
+        # reference parity: rank-0-only artifact writes (SURVEY §5 metrics
+        # row) — every process computes, only process 0 touches the disk
+        self._is_main = jax.process_index() == 0
+        self._pending_meta: Dict[str, Dict] = {}
 
         tmp = Path(cfg.misc.tmp_path)
         self.dirs = {
@@ -164,6 +169,15 @@ class Learner:
         self.epoch = 0
         self.batch_in_epoch = 0
 
+        # producer-side H2D: the prefetch worker thread device_puts train
+        # batches (uint8-compacted) so the transfer overlaps the previous
+        # step's compute instead of stalling the step loop inline
+        # (VERDICT r2 item 1).  Eval keeps inline shard_batch — _run_eval
+        # needs host-side fields before transfer.
+        data.train_dl.transform = lambda b: shard_batch(
+            b, self.mesh, cfg.misc.half_feats
+        )
+
         if cfg.train.resume:
             self.load(cfg.train.resume_path or None)
 
@@ -171,12 +185,14 @@ class Learner:
     def log(self, msg: str) -> None:
         line = f"[{time.strftime('%H:%M:%S')}] {msg}"
         print(line, flush=True)
-        with open(self.log_file, "a") as f:
-            f.write(line + "\n")
+        if self._is_main:  # rank-0-only artifact writes (reference parity)
+            with open(self.log_file, "a") as f:
+                f.write(line + "\n")
 
     def log_json(self, record: Dict) -> None:
-        with open(self.json_log, "a") as f:
-            f.write(json.dumps(record) + "\n")
+        if self._is_main:
+            with open(self.json_log, "a") as f:
+                f.write(json.dumps(record) + "\n")
 
     # -- checkpointing ----------------------------------------------------------
     @property
@@ -192,6 +208,19 @@ class Learner:
             )
         return self._ckptr_inst
 
+    def _write_meta(self, tag: str, meta: Dict) -> None:
+        if not self._is_main:
+            return
+        tmp = self.ckpt_dir / f"{tag}.meta.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.ckpt_dir / f"{tag}.meta.json")  # atomic publish
+
+    def _flush_pending_meta(self) -> None:
+        for tag, meta in self._pending_meta.items():
+            self._write_meta(tag, meta)
+        self._pending_meta.clear()
+
     def save(self, tag: str = "last", blocking: bool = True) -> None:
         path = self.ckpt_dir / tag
         payload = {
@@ -200,26 +229,58 @@ class Learner:
             "step": self.state.step,
         }
         self._ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+        # the AsyncCheckpointer serializes saves — by the time save()
+        # returns, any PREVIOUS async commit is durable, so its stashed
+        # meta is now safe to publish
+        self._flush_pending_meta()
+        meta = {
+            "epoch": self.epoch,
+            "best_metric": self.best_metric,
+            # deterministic iterator state (SURVEY §5): epoch + position;
+            # resume replays the epoch's ordering and fast-forwards past
+            # consumed batches
+            "batch_in_epoch": self.batch_in_epoch,
+        }
         if blocking:
             self._ckptr.wait_until_finished()
-        with open(self.ckpt_dir / f"{tag}.meta.json", "w") as f:
-            json.dump(
-                {
-                    "epoch": self.epoch,
-                    "best_metric": self.best_metric,
-                    # deterministic iterator state (SURVEY §5): epoch +
-                    # position; resume replays the epoch's ordering and
-                    # fast-forwards past consumed batches
-                    "batch_in_epoch": self.batch_in_epoch,
-                },
-                f,
-            )
+            self._write_meta(tag, meta)
+        else:
+            # meta must not become durable BEFORE the array commit (a
+            # crash in that window would pair new meta with the previous
+            # checkpoint's arrays and silently skip training data on
+            # resume) — stash it and publish at the next barrier.  A crash
+            # before the flush leaves old meta + new arrays: resume then
+            # REPLAYS a few batches, which is the safe direction.
+            self._pending_meta[tag] = meta
 
     def wait_for_checkpoints(self) -> None:
         """Barrier for any in-flight async save (call before reading own
         checkpoints or at end of training)."""
         if getattr(self, "_ckptr_inst", None) is not None:
             self._ckptr_inst.wait_until_finished()
+        self._flush_pending_meta()
+
+    # param-tree migration for pre-round-2 checkpoints: GroundingHead
+    # moved from nn.Dense submodules (head/fuse_vis/kernel) to flat
+    # self.param names (head/fuse_vis_kernel) when the Pallas head kernel
+    # landed — fold the old two-level paths into the new flat leaves
+    _HEAD_DENSE_NAMES = ("fuse_vis", "fuse_lang", "fuse_cross", "head1", "head2")
+
+    @classmethod
+    def _migrate_head_params(cls, params: Dict) -> Dict:
+        from flax import traverse_util
+
+        flat = traverse_util.flatten_dict(params)
+        out = {}
+        for path, leaf in flat.items():
+            if (
+                len(path) >= 2
+                and path[-2] in cls._HEAD_DENSE_NAMES
+                and path[-1] in ("kernel", "bias")
+            ):
+                path = path[:-2] + (f"{path[-2]}_{path[-1]}",)
+            out[path] = leaf
+        return traverse_util.unflatten_dict(out)
 
     def load(self, path: Optional[str] = None, tag: str = "last") -> None:
         self.wait_for_checkpoints()
@@ -234,19 +295,22 @@ class Learner:
             restored = ckptr.restore(ckpt_path, target)
             params, opt_state = restored["params"], restored["opt_state"]
             step = restored["step"]
-        except BaseException:
-            # optimizer-structure mismatch (e.g. the ckpt was trained with
-            # train.skip_nonfinite's apply_if_finite wrapper and this run
-            # isn't, or vice versa): fall back to params+step only — exact
-            # for eval/serving; training resume restarts optimizer moments
+        except (ValueError, KeyError, TypeError):
+            # structure mismatch only (e.g. the ckpt was trained with a
+            # different skip_nonfinite optimizer wrapper, or carries
+            # pre-round-2 GroundingHead param names): fall back to
+            # params+step — exact for eval/serving; training resume
+            # restarts optimizer moments.  Anything else (missing file,
+            # I/O errors, KeyboardInterrupt) propagates.
             from vog_tpu.train.dist import param_shardings
 
             raw = ckptr.restore(ckpt_path)  # raw tree, no structure target
+            raw_params = self._migrate_head_params(raw["params"])
             shardings = param_shardings(self.mesh, self.state.params)
             params = jax.tree.map(
                 lambda s, v: jax.device_put(np.asarray(v), s),
                 shardings,
-                raw["params"],
+                raw_params,
             )
             opt_state = self.state.opt_state
             step = jnp.asarray(raw["step"])
@@ -281,6 +345,11 @@ class Learner:
         # sample idx), so the sampling stream is position-independent)
         self.data.train_dl.epoch = self.epoch
         skip = self.batch_in_epoch
+        # host-side step counter for the ckpt cadence: int(state.step)
+        # forces a device sync every step (a full tunnel round-trip);
+        # one sync here, then count locally (apply_gradients increments
+        # step unconditionally, so the two never diverge)
+        host_step = int(self.state.step) if cfg.train.ckpt_every_steps else 0
         for ep_i in range(epochs):
             t0 = time.time()
             n_seen = 0
@@ -291,7 +360,8 @@ class Learner:
                 if cfg.misc.profile_dir and i == 1:  # skip compile step
                     jax.profiler.start_trace(cfg.misc.profile_dir)
                     profiling = True
-                batch = shard_batch(batch, self.mesh, cfg.misc.half_feats)
+                if self.data.train_dl.transform is None:
+                    batch = shard_batch(batch, self.mesh, cfg.misc.half_feats)
                 with jax.profiler.StepTraceAnnotation("train", step_num=i):
                     self.state, aux = self._train_step(
                         self.state, batch, self.rng, self._tables
@@ -302,9 +372,10 @@ class Learner:
                     profiling = False
                     self.log(f"profiler trace written to {cfg.misc.profile_dir}")
                 n_seen += self.global_bs
+                host_step += 1
                 if (
                     cfg.train.ckpt_every_steps
-                    and int(self.state.step) % cfg.train.ckpt_every_steps == 0
+                    and host_step % cfg.train.ckpt_every_steps == 0
                 ):
                     # non-blocking: the commit overlaps subsequent steps
                     self.save("last", blocking=not cfg.train.async_ckpt)
@@ -388,34 +459,65 @@ class Learner:
             out = jax.device_get(out)
             for k in list(sums.keys()):
                 sums[k] += float(out[k])
-            considered = np.asarray(out["considered"])
-            pv = np.asarray(out["pred_vid"])
-            pp = np.asarray(out["pred_prop"])
-            pi = np.asarray(out["pred_iou"])
-            cand = np.asarray(out["cand_scores"])  # (B,A,F,V*P)
             pos_vid = np.asarray(batch["pos_vid"])
             n_props = int(batch["prop_mask"].shape[-1])
-            for b in range(len(ann_idx)):
-                if bm[b] == 0:
-                    continue
-                sel = considered[b] > 0
-                ai, fi = np.nonzero(sel)  # pair order matches the flat sel
-                preds.append(
-                    {
-                        "ann_idx": int(ann_idx[b]),
-                        "pred_vid": pv[b][sel].tolist(),
-                        "pred_prop": pp[b][sel].tolist(),
-                        "iou": pi[b][sel].tolist(),
-                        # offline re-scoring payload (evaluation/offline.py):
-                        # per-pair (arg, frame) indices + the masked (V*P)
-                        # candidate score slice, and the group's positive slot
-                        "arg_idx": ai.tolist(),
-                        "frame_idx": fi.tolist(),
-                        "scores": cand[b, ai, fi].tolist(),
-                        "pos_vid": int(pos_vid[b]),
-                        "num_props": n_props,
-                    }
-                )
+            if "pair_valid" in out:
+                # compact payload: the considered (arg, frame) pairs were
+                # selected ON DEVICE into a static (B, K) budget, so the
+                # transfer above carried K pairs instead of the full
+                # (B,A,F,V*P) candidate grid (VERDICT r2 item 5)
+                if out["n_overflow"] > 0:
+                    self.log(
+                        f"eval[{split}] WARNING: {int(out['n_overflow'])} "
+                        "considered pairs exceeded train.eval_max_pairs — "
+                        "predictions payload truncated (metrics unaffected)"
+                    )
+                valid = np.asarray(out["pair_valid"])
+                for b in range(len(ann_idx)):
+                    if bm[b] == 0:
+                        continue
+                    k = valid[b] > 0
+                    preds.append(
+                        {
+                            "ann_idx": int(ann_idx[b]),
+                            "pred_vid": out["pair_vid"][b][k].tolist(),
+                            "pred_prop": out["pair_prop"][b][k].tolist(),
+                            "iou": out["pair_iou"][b][k].tolist(),
+                            # offline re-scoring payload
+                            # (evaluation/offline.py): per-pair (arg,
+                            # frame) indices + the masked (V*P) candidate
+                            # score slice, and the group's positive slot
+                            "arg_idx": out["pair_arg"][b][k].tolist(),
+                            "frame_idx": out["pair_frame"][b][k].tolist(),
+                            "scores": out["pair_scores"][b][k].tolist(),
+                            "pos_vid": int(pos_vid[b]),
+                            "num_props": n_props,
+                        }
+                    )
+            else:  # full-grid mode (train.eval_max_pairs=0)
+                considered = np.asarray(out["considered"])
+                pv = np.asarray(out["pred_vid"])
+                pp = np.asarray(out["pred_prop"])
+                pi = np.asarray(out["pred_iou"])
+                cand = np.asarray(out["cand_scores"])  # (B,A,F,V*P)
+                for b in range(len(ann_idx)):
+                    if bm[b] == 0:
+                        continue
+                    sel = considered[b] > 0
+                    ai, fi = np.nonzero(sel)  # pair order matches flat sel
+                    preds.append(
+                        {
+                            "ann_idx": int(ann_idx[b]),
+                            "pred_vid": pv[b][sel].tolist(),
+                            "pred_prop": pp[b][sel].tolist(),
+                            "iou": pi[b][sel].tolist(),
+                            "arg_idx": ai.tolist(),
+                            "frame_idx": fi.tolist(),
+                            "scores": cand[b, ai, fi].tolist(),
+                            "pos_vid": int(pos_vid[b]),
+                            "num_props": n_props,
+                        }
+                    )
         if self.cfg.misc.multihost and jax.process_count() > 1:
             # reference parity: DDP's rank-gather of metric dicts +
             # prediction pickles (SURVEY §3.2) — here over DCN
@@ -425,8 +527,17 @@ class Learner:
         pred_file = (
             self.dirs["predictions"] / f"{self.uid}_{split}_{self.epoch}.pkl"
         )
-        with open(pred_file, "wb") as f:
-            pickle.dump(preds, f)
+        if self._is_main:
+            with open(pred_file, "wb") as f:
+                pickle.dump(preds, f)
+        else:
+            # reference parity: rank-0-only artifact writes — on a shared
+            # filesystem N processes writing one path is a race
+            print(
+                f"rank {jax.process_index()}: skipped predictions write "
+                f"({pred_file.name} is rank-0-only)",
+                flush=True,
+            )
         metrics = finalize_metrics(sums)
         metrics["val_loss"] = sums["loss_sum"] / max(sums["n_batch"], 1.0)
         return metrics

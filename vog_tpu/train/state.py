@@ -12,7 +12,7 @@ optimizer state updates in place in HBM.
 
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Callable, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +28,77 @@ from vog_tpu.sampling import assemble_batch, scores_to_canonical, view_dims
 
 class TrainState(train_state.TrainState):
     pass
+
+
+class SkipNonfiniteState(NamedTuple):
+    """State for ``skip_nonfinite_guard``: consecutive + total bad-step
+    counters around the wrapped optimizer's state."""
+
+    notfinite_count: jnp.ndarray  # int32 scalar — consecutive bad steps
+    total_notfinite: jnp.ndarray  # int32 scalar — bad steps this run
+    inner_state: optax.OptState
+
+
+def skip_nonfinite_guard(
+    inner: optax.GradientTransformation, max_consecutive_errors: int
+) -> optax.GradientTransformation:
+    """Drop non-finite gradient updates WITHOUT a ``lax.cond``.
+
+    Semantically equivalent to ``optax.apply_if_finite(inner, k)`` (tested
+    step-for-step in tests/test_skip_guard.py): a step whose gradients
+    contain NaN/inf leaves params and the inner optimizer state unchanged;
+    after more than ``max_consecutive_errors`` consecutive bad steps the
+    raw update is applied anyway so the NaN propagates and the run aborts
+    at the next ``misc.check_nans`` log point.
+
+    Why not apply_if_finite: its ``lax.cond`` traces the entire inner
+    update twice (apply branch + reject branch), doubling the step graph —
+    measured at 4 -> 14 min compile through the remote-TPU tunnel
+    (docs/ROUND2_NOTES.md).  Here the inner update is traced ONCE on
+    zero-masked gradients and the outputs/state are merged with
+    elementwise ``jnp.where`` selects, whose cost is a pass over the
+    (small) optimizer-state tree — ~zero compile and runtime overhead.
+    """
+
+    def init(params):
+        return SkipNonfiniteState(
+            notfinite_count=jnp.zeros([], jnp.int32),
+            total_notfinite=jnp.zeros([], jnp.int32),
+            inner_state=inner.init(params),
+        )
+
+    def update(updates, state, params=None):
+        leaves = jax.tree.leaves(updates)
+        isfinite = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(u)) for u in leaves])
+        )
+        notfinite_count = jnp.where(
+            isfinite, 0, state.notfinite_count + 1
+        ).astype(jnp.int32)
+        # mirror apply_if_finite: give up suppressing once the NEW count
+        # exceeds the budget — the bad update flows through untouched
+        apply = jnp.logical_or(
+            isfinite, notfinite_count > max_consecutive_errors
+        )
+        safe = jax.tree.map(
+            lambda u: jnp.where(apply, u, jnp.zeros_like(u)), updates
+        )
+        new_updates, new_inner = inner.update(safe, state.inner_state, params)
+        out_updates = jax.tree.map(
+            lambda u: jnp.where(apply, u, jnp.zeros_like(u)), new_updates
+        )
+        out_inner = jax.tree.map(
+            lambda n, o: jnp.where(apply, n, o), new_inner, state.inner_state
+        )
+        return out_updates, SkipNonfiniteState(
+            notfinite_count=notfinite_count,
+            total_notfinite=(
+                state.total_notfinite + jnp.where(isfinite, 0, 1)
+            ).astype(jnp.int32),
+            inner_state=out_inner,
+        )
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(cfg: Cfg) -> optax.GradientTransformation:
@@ -51,7 +122,9 @@ def make_optimizer(cfg: Cfg) -> optax.GradientTransformation:
         # opt state unchanged) instead of poisoning the weights; aborts
         # after skip_nonfinite consecutive bad steps.  Off by default for
         # strict reference parity (the reference has no such guard).
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=t.skip_nonfinite)
+        # cond-free equivalent of optax.apply_if_finite — see
+        # skip_nonfinite_guard (compile cost: ~0 vs 2x step graph).
+        tx = skip_nonfinite_guard(tx, max_consecutive_errors=t.skip_nonfinite)
     return tx
 
 
@@ -104,6 +177,19 @@ def init_state(cfg: Cfg, glove: np.ndarray, rng: jax.Array, batch_size: int) -> 
     )
 
 
+# 0/1 fields the dataset ships as uint8 (4x smaller H2D); cast back to
+# f32 here INSIDE jit — the cast fuses into the first consumer for free
+COMPACT_KEYS = ("targets", "prop_mask", "gt_frame_mask", "srl_arg_mask", "batch_mask")
+
+
+def cast_compact(batch: Dict) -> Dict:
+    out = dict(batch)
+    for k in COMPACT_KEYS:
+        if k in out:
+            out[k] = out[k].astype(jnp.float32)
+    return out
+
+
 def _make_gather(device_store: bool, store_mesh):
     """The in-step feature resolve for device-resident tables: local take
     when the tables are replicated, collective psum_scatter gather when
@@ -133,7 +219,7 @@ def make_train_step(
     gather = _make_gather(device_store, store_mesh)
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array, tables=None):
-        batch = gather(batch, tables)
+        batch = cast_compact(gather(batch, tables))
         step_rng = jax.random.fold_in(rng, state.step)
         clip = assemble_batch(batch, conc)
 
@@ -164,9 +250,12 @@ def make_eval_step(
 ) -> Callable:
     conc = cfg.ds.conc_type
     gather = _make_gather(device_store, store_mesh)
+    max_pairs = cfg.train.eval_max_pairs
+    if max_pairs < 0:  # auto: 1-2 annotated frames per arg in ASRL
+        max_pairs = 2 * cfg.ds.max_srl_args
 
     def eval_step(state: TrainState, batch: Dict, tables=None):
-        batch = gather(batch, tables)
+        batch = cast_compact(gather(batch, tables))
         clip = assemble_batch(batch, conc)
         logits = state.apply_fn({"params": state.params}, clip, deterministic=True)
         loss, _ = compute_loss(logits, clip)
@@ -181,6 +270,7 @@ def make_eval_step(
             batch["pos_vid"],
             batch["batch_mask"],
             batch["prop_mask"],
+            max_pairs=max_pairs,
         )
         nb = jnp.maximum(batch["batch_mask"].sum(), 1.0)
         out["loss_sum"] = loss * nb  # batch-mean loss weighted for aggregation
