@@ -70,6 +70,68 @@ def main() -> None:
     state, aux = train_step(state, batch, jax.random.PRNGKey(1))
     loss = float(aux["loss"])  # replicated -> addressable on every process
     assert np.isfinite(loss), loss
+
+    # --- multi-host input sharding (DistributedSampler analog) ------------
+    # Each process materializes only its rows of the global batch; the
+    # assembled global array must give a BIT-IDENTICAL loss to the
+    # duplicated full-batch path, with ~1/nproc of the __getitem__ work.
+    import tempfile
+
+    from tests.conftest import small_cfg
+    from vog_tpu.data import get_data
+    from vog_tpu.data.fixtures import generate_fixture
+    from vog_tpu.train.dist import local_batch_rows, shard_batch_local
+
+    fdir = tempfile.mkdtemp(prefix=f"mp_fix_{pid}_")
+    # seed-0 fixture: every process generates identical bytes locally
+    generate_fixture(
+        fdir, n_train=48, n_valid=8, n_test=8, num_props=5,
+        prop_dim=64, seg_dim=48, glove_dim=32, seed=0,
+    )
+    cfg2 = small_cfg(
+        fdir, **{"mdl.name": "img_grnd", "ds.conc_type": "svsq", "train.bs": 8}
+    )
+    gbs = 8
+    data = get_data(cfg2, gbs)
+    dl = data.train_dl
+    calls = {"n": 0}
+    orig_getitem = dl.ds.__getitem__
+
+    def counting_getitem(i, rng=None):
+        calls["n"] += 1
+        return orig_getitem(i, rng)
+
+    dl.ds.__getitem__ = counting_getitem
+    dl.prefetch = 0  # strict on-demand so the call count is exact
+    step2 = jax.jit(make_train_step(cfg2), donate_argnums=(0,))
+
+    def one_step(sharded_batch):
+        st = init_state(cfg2, data.vocab.vectors, jax.random.PRNGKey(0), gbs)
+        st = st.replace(
+            params=jax.device_put(st.params, param_shardings(mesh, st.params))
+        )
+        _, aux2 = step2(st, sharded_batch, jax.random.PRNGKey(1))
+        return float(aux2["loss"])
+
+    # path A: every process builds the full global batch (duplication)
+    dl.local_rows, dl.epoch, calls["n"] = None, 0, 0
+    loss_dup = one_step(shard_batch(next(iter(dl)), mesh))
+    calls_dup = calls["n"]
+
+    # path B: rank-strided local rows + make_array_from_process_local_data
+    dl.local_rows = local_batch_rows(mesh, gbs)
+    assert dl.local_rows is not None
+    dl.epoch, calls["n"] = 0, 0
+    loss_loc = one_step(shard_batch_local(next(iter(dl)), mesh, gbs))
+    calls_loc = calls["n"]
+
+    assert loss_loc == loss_dup, (loss_loc, loss_dup)
+    assert calls_dup == gbs, calls_dup
+    assert calls_loc == gbs // nproc, (calls_loc, gbs, nproc)
+    print(
+        f"MP_SHARD_OK getitem {calls_loc}/{calls_dup}",
+        flush=True,
+    )
     print(f"MP_OK loss={loss:.6f}", flush=True)
 
 

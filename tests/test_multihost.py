@@ -72,3 +72,10 @@ def test_two_process_cluster_train_step_and_gather(tmp_path):
     assert all(losses), outs
     l0, l1 = (float(m.group(1)) for m in losses)
     assert l0 == l1, (l0, l1)
+    # multi-host input sharding: each process built only its half of the
+    # global batch (4 of 8 __getitem__ calls) with bit-identical loss to
+    # the duplicated path (asserted inside the worker)
+    shard = [re.search(r"MP_SHARD_OK getitem (\d+)/(\d+)", o) for o in outs]
+    assert all(shard), outs
+    for m in shard:
+        assert int(m.group(1)) * 2 == int(m.group(2)), m.groups()

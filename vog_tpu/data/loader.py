@@ -81,21 +81,25 @@ class BatchIterator:
         return [idxs[i * self.bs : (i + 1) * self.bs] for i in range(nb)]
 
     def _make_batch(self, batch_idxs: np.ndarray, epoch: int) -> Dict[str, np.ndarray]:
-        samples = [
-            self.ds.__getitem__(
+        def build(i: int) -> Dict:
+            return self.ds.__getitem__(
                 int(i), np.random.default_rng([self.seed, epoch, int(i)])
             )
-            for i in batch_idxs
-        ]
-        if len(samples) < self.bs:  # pad final eval batch to static shape
-            pad = [samples[-1]] * (self.bs - len(samples))
-            batch = collate(samples + pad)
-            bm = np.zeros((self.bs,), np.uint8)
-            bm[: len(samples)] = 1
-        else:
-            batch = collate(samples)
-            bm = np.ones((self.bs,), np.uint8)
-        batch["batch_mask"] = bm
+
+        # global batch mask (final eval batch may be short of self.bs)
+        bm = np.zeros((self.bs,), np.uint8)
+        bm[: len(batch_idxs)] = 1
+        lo, hi = self.local_rows if self.local_rows is not None else (0, self.bs)
+        # per-sample RNG is keyed on (seed, epoch, idx) — NOT on a
+        # sequential stream — so materializing only rows [lo, hi) yields
+        # bit-identical samples to the full-batch construction
+        samples = [build(i) for i in batch_idxs[lo:hi]]
+        n_pad = (hi - lo) - len(samples)
+        if n_pad > 0:  # pad to the local static shape
+            donor = samples[-1] if samples else build(batch_idxs[-1])
+            samples = samples + [donor] * n_pad
+        batch = collate(samples)
+        batch["batch_mask"] = bm[lo:hi]
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

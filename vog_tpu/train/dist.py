@@ -99,3 +99,55 @@ def shard_batch(
             v = v.astype(jnp.bfloat16)
         out[k] = jax.device_put(v, sh)
     return out
+
+
+def local_batch_rows(mesh: Mesh, global_bs: int):
+    """-> (start, stop) rows of the global batch owned by THIS process's
+    addressable devices under ``batch_sharding(mesh)``, or None if the
+    process's rows are not one contiguous block (then fall back to
+    full-batch duplication).
+
+    This is the DistributedSampler analog (SURVEY §2 distributed row):
+    each host builds only the batch rows its shards own instead of
+    duplicating the whole global batch N times.
+    """
+    sh = batch_sharding(mesh)
+    idx_map = sh.addressable_devices_indices_map((global_bs,))
+    spans = set()
+    for idx in idx_map.values():
+        sl = idx[0]
+        spans.add((sl.start or 0, global_bs if sl.stop is None else sl.stop))
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    # contiguity check: the distinct spans must tile [lo, hi) exactly
+    # (the 'model' axis replicates a span across devices — that's fine)
+    tiled = sorted(spans)
+    pos = lo
+    for s0, s1 in tiled:
+        if s0 != pos:
+            return None
+        pos = s1
+    return (lo, hi) if pos == hi else None
+
+
+def shard_batch_local(
+    batch: Dict[str, np.ndarray],
+    mesh: Mesh,
+    global_bs: int,
+    half_feats: bool = False,
+) -> Dict:
+    """Per-process LOCAL batch rows -> global sharded device arrays.
+
+    ``batch`` holds only the rows this process owns (loader.local_rows);
+    jax assembles the global array from each process's local shards — no
+    cross-host data movement, no duplicated host construction.
+    """
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if half_feats and k in HALF_KEYS:
+            v = v.astype(jnp.bfloat16)
+        out[k] = jax.make_array_from_process_local_data(
+            sh, np.asarray(v), (global_bs,) + v.shape[1:]
+        )
+    return out

@@ -30,7 +30,14 @@ import orbax.checkpoint as ocp
 from vog_tpu.config import Cfg
 from vog_tpu.data.loader import DataWrap
 from vog_tpu.evaluation import finalize_metrics
-from vog_tpu.train.dist import make_mesh, param_shardings, replicated, shard_batch
+from vog_tpu.train.dist import (
+    local_batch_rows,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_batch,
+    shard_batch_local,
+)
 from vog_tpu.train.state import (
     TrainState,
     init_state,
@@ -169,14 +176,42 @@ class Learner:
         self.epoch = 0
         self.batch_in_epoch = 0
 
+        # multi-host input sharding (DistributedSampler analog, SURVEY §2
+        # distributed row): each process materializes ONLY the global-
+        # batch rows its addressable 'data' shards own and jax assembles
+        # the global array from the per-process locals — instead of every
+        # host duplicating the entire batch construction + transfer.
+        self._local_rows = None
+        if cfg.misc.multihost and jax.process_count() > 1:
+            self._local_rows = local_batch_rows(self.mesh, self.global_bs)
+            if self._local_rows is None:
+                self.log(
+                    "multihost: local batch rows not contiguous for this "
+                    "mesh layout — falling back to full-batch duplication"
+                )
+            else:
+                for dl in (data.train_dl, data.valid_dl, data.test_dl):
+                    if dl is not None:
+                        dl.local_rows = self._local_rows
+                self.log(
+                    f"multihost input shard: process {jax.process_index()} "
+                    f"builds batch rows [{self._local_rows[0]}, "
+                    f"{self._local_rows[1]}) of {self.global_bs}"
+                )
+        if self._local_rows is not None:
+            self._to_global = lambda b: shard_batch_local(
+                b, self.mesh, self.global_bs, cfg.misc.half_feats
+            )
+        else:
+            self._to_global = lambda b: shard_batch(
+                b, self.mesh, cfg.misc.half_feats
+            )
         # producer-side H2D: the prefetch worker thread device_puts train
         # batches (uint8-compacted) so the transfer overlaps the previous
         # step's compute instead of stalling the step loop inline
-        # (VERDICT r2 item 1).  Eval keeps inline shard_batch — _run_eval
+        # (VERDICT r2 item 1).  Eval keeps inline transfer — _run_eval
         # needs host-side fields before transfer.
-        data.train_dl.transform = lambda b: shard_batch(
-            b, self.mesh, cfg.misc.half_feats
-        )
+        data.train_dl.transform = self._to_global
 
         if cfg.train.resume:
             self.load(cfg.train.resume_path or None)
@@ -361,7 +396,7 @@ class Learner:
                     jax.profiler.start_trace(cfg.misc.profile_dir)
                     profiling = True
                 if self.data.train_dl.transform is None:
-                    batch = shard_batch(batch, self.mesh, cfg.misc.half_feats)
+                    batch = self._to_global(batch)
                 with jax.profiler.StepTraceAnnotation("train", step_num=i):
                     self.state, aux = self._train_step(
                         self.state, batch, self.rng, self._tables
@@ -452,7 +487,7 @@ class Learner:
                 break
             ann_idx = np.asarray(batch["ann_idx"])
             bm = np.asarray(batch["batch_mask"])
-            sb = shard_batch(batch, self.mesh, self.cfg.misc.half_feats)
+            sb = self._to_global(batch)
             out = self._eval_step(self.state, sb, self._tables)
             # one bulk device->host transfer per batch (each separate
             # fetch costs a full round-trip through the TPU tunnel)
@@ -519,11 +554,17 @@ class Learner:
                         }
                     )
         if self.cfg.misc.multihost and jax.process_count() > 1:
-            # reference parity: DDP's rank-gather of metric dicts +
-            # prediction pickles (SURVEY §3.2) — here over DCN
-            from vog_tpu.train.multihost import gather_eval
+            # reference parity: DDP's rank-gather of prediction pickles
+            # (SURVEY §3.2) — here over DCN.  The metric sums need NO
+            # gather: they are reduced over the GLOBAL batch inside jit,
+            # so every process already holds the identical global value
+            # (summing them would inflate counts by process_count).
+            if self._local_rows is not None:
+                from vog_tpu.train.multihost import gather_eval
 
-            sums, preds = gather_eval(sums, preds)
+                _, preds = gather_eval({}, preds)
+            # else: full-batch duplication mode — every process already
+            # built the complete predictions list (rank 0 writes it)
         pred_file = (
             self.dirs["predictions"] / f"{self.uid}_{split}_{self.epoch}.pkl"
         )
