@@ -1,0 +1,144 @@
+"""Serving loop: request queue -> micro-batcher -> Predictor -> responses.
+
+The reference repo is research code with no serving surface (SURVEY §0);
+this is the deployment counterpart around ``vog_tpu.serve.Predictor``
+(north star: "intended for large-scale production deployment and
+serving").  Clients submit single-query requests; a dispatcher thread
+coalesces up to ``max_batch`` of them (waiting at most ``max_wait_ms``
+once the first is queued), pads the tail to the jitted batch shape by
+repeating a row, runs ONE jitted Predictor call, and resolves each
+request's Future with its row slice.
+
+TPU-first rationale: one fixed-shape batched call per flush keeps a
+single cached XLA executable hot and feeds the MXU full tiles; with the
+device-resident feature store a request carries ``vid_rows`` (KBs)
+instead of ~34 MB of features, so queueing + H2D cost stays negligible
+against the ~2 ms compute (BASELINE.md §serving).
+
+``python -m vog_tpu.cli.serve`` wraps this in a process: a concurrent
+self-test mode (p50/p95 latency + throughput) and a minimal HTTP JSON
+endpoint.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from vog_tpu.serve import Predictor
+
+
+class ServingLoop:
+    """Micro-batching dispatcher around a jitted ``Predictor``.
+
+    Requests are dicts with the canonical batch keys WITHOUT the leading
+    batch dim (one query each) — e.g. ``vid_rows (V,)`` in device-store
+    mode, or ``props (V,F,P,D)`` full-feature.  Responses are the
+    Predictor output slice for that row: pred_vid/pred_prop/pred_box/
+    pred_score (+ the canonical score grid row).
+    """
+
+    def __init__(
+        self,
+        predictor: Predictor,
+        max_batch: int,
+        max_wait_ms: float = 2.0,
+        queue_depth: int = 1024,
+    ):
+        self.predictor = predictor
+        self.max_batch = int(max_batch)
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
+        self._closed = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- client side --------------------------------------------------------
+    def submit(self, request: Dict[str, np.ndarray]) -> Future:
+        """Enqueue one request; the Future resolves to its response dict."""
+        if self._closed.is_set():
+            raise RuntimeError("ServingLoop is closed")
+        fut: Future = Future()
+        self._q.put((request, fut))
+        return fut
+
+    def __call__(self, request: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Blocking convenience: submit + wait."""
+        return self.submit(request).result()
+
+    def close(self) -> None:
+        self._closed.set()
+        self._worker.join(timeout=30.0)
+        # fail anything still queued
+        try:
+            while True:
+                _, fut = self._q.get_nowait()
+                fut.set_exception(RuntimeError("ServingLoop closed"))
+        except queue.Empty:
+            pass
+
+    # -- dispatcher ---------------------------------------------------------
+    def _collect(self) -> List:
+        """Block for the first request, then drain up to max_batch within
+        the wait budget (micro-batching window)."""
+        try:
+            first = self._q.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        items = [first]
+        deadline = _monotonic() + self.max_wait_s
+        while len(items) < self.max_batch:
+            remaining = deadline - _monotonic()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _run(self) -> None:
+        while not (self._closed.is_set() and self._q.empty()):
+            items = self._collect()
+            if not items:
+                continue
+            reqs = [r for r, _ in items]
+            futs = [f for _, f in items]
+            try:
+                # pad the tail to the jitted batch shape by repeating the
+                # last request (responses for pad rows are discarded)
+                n = len(reqs)
+                padded = reqs + [reqs[-1]] * (self.max_batch - n)
+                batch = {
+                    k: np.stack([r[k] for r in padded]) for k in padded[0]
+                }
+                if "batch_mask" not in batch:  # assemble_batch needs it
+                    batch["batch_mask"] = np.ones((self.max_batch,), np.uint8)
+                out = self.predictor(batch)
+                for i, fut in enumerate(futs):
+                    fut.set_result({k: v[i] for k, v in out.items()})
+            except BaseException as e:  # resolve, never strand a client
+                for fut in futs:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
+def _monotonic() -> float:
+    import time
+
+    return time.monotonic()
+
+
+def batch_to_requests(batch: Dict[str, np.ndarray]) -> List[Dict]:
+    """Split a canonical loader batch into per-query serving requests
+    (drops loader-only fields the Predictor doesn't consume)."""
+    skip = {"batch_mask", "ann_idx"}
+    n = len(next(iter(batch.values())))
+    return [
+        {k: np.asarray(v[i]) for k, v in batch.items() if k not in skip}
+        for i in range(n)
+    ]
