@@ -83,8 +83,8 @@ def main():
     for _ in range(3):
         state, aux = step(state, first, rng)
         float(aux["loss"])
-    N = int(os.environ.get("BENCH_INPUT_N", "0")) or min(
-        20, len(data.train_dl) - 1
+    N = int(os.environ.get("BENCH_INPUT_N", "0")) or max(
+        20, len(data.train_dl)
     )
     print(f"timing compute floor ({N} steps)...", flush=True)
     t0 = time.perf_counter()
@@ -94,21 +94,35 @@ def main():
     t_compute = (time.perf_counter() - t0) / N
 
     # epoch-style: real batches through getitem + prefetch + shard_batch.
-    # shard_batch runs in the prefetch worker (loader.transform) exactly
-    # as the Learner wires it, so H2D overlaps the previous step
-    print("timing e2e epoch loop...", flush=True)
+    # Default: shard_batch runs in the prefetch worker (loader.transform)
+    # exactly as the Learner wires it, so H2D overlaps the previous step;
+    # BENCH_INPUT_INLINE=1 A/Bs the inline-transfer variant.  Loops
+    # epochs until N steps and takes the best of 2 passes (first pass
+    # warms the memoization caches + prefetch thread).
+    inline = os.environ.get("BENCH_INPUT_INLINE") == "1"
+    print(f"timing e2e epoch loop ({'inline' if inline else 'worker'} H2D)...", flush=True)
     del it
-    data.train_dl.epoch = 1
-    data.train_dl.transform = lambda b: shard_batch(b, mesh, cfg.misc.half_feats)
-    t0 = time.perf_counter()
-    n = 0
-    for sb in data.train_dl:
-        state, aux = step(state, sb, rng)
-        n += 1
-        if n >= N:
-            break
-    float(aux["loss"])
-    t_e2e = (time.perf_counter() - t0) / n
+    if not inline:
+        data.train_dl.transform = lambda b: shard_batch(
+            b, mesh, cfg.misc.half_feats
+        )
+
+    def one_pass():
+        t0 = time.perf_counter()
+        n = 0
+        while n < N:
+            for b in data.train_dl:
+                if inline:
+                    b = shard_batch(b, mesh, cfg.misc.half_feats)
+                nonlocal_state[0], aux = step(nonlocal_state[0], b, rng)
+                n += 1
+                if n >= N:
+                    break
+        float(aux["loss"])
+        return (time.perf_counter() - t0) / n
+
+    nonlocal_state = [state]
+    t_e2e = min(one_pass(), one_pass())
 
     stall = max(0.0, (t_e2e - t_compute) / t_e2e * 100.0)
     pairs = B * cfg.ds.num_cmp

@@ -487,7 +487,13 @@ class Learner:
                 break
             ann_idx = np.asarray(batch["ann_idx"])
             bm = np.asarray(batch["batch_mask"])
-            sb = self._to_global(batch)
+            # train_dl batches arrive already device-put (its producer
+            # transform); eval splits arrive as host arrays
+            sb = (
+                batch
+                if isinstance(batch["targets"], jax.Array)
+                else self._to_global(batch)
+            )
             out = self._eval_step(self.state, sb, self._tables)
             # one bulk device->host transfer per batch (each separate
             # fetch costs a full round-trip through the TPU tunnel)

@@ -80,10 +80,13 @@ def skip_nonfinite_guard(
         apply = jnp.logical_or(
             isfinite, notfinite_count > max_consecutive_errors
         )
-        safe = jax.tree.map(
-            lambda u: jnp.where(apply, u, jnp.zeros_like(u)), updates
+        # raw (possibly non-finite) updates go straight into the inner
+        # transform: on a dropped step its outputs are discarded by the
+        # selects below (jnp.where never propagates the unselected NaNs),
+        # and on a give-up step the raw update is exactly what must flow
+        new_updates, new_inner = inner.update(
+            updates, state.inner_state, params
         )
-        new_updates, new_inner = inner.update(safe, state.inner_state, params)
         out_updates = jax.tree.map(
             lambda u: jnp.where(apply, u, jnp.zeros_like(u)), new_updates
         )
