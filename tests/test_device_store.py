@@ -123,14 +123,22 @@ def test_sharded_gather_matches_dense():
     N, F, Pp, D, Dv = 8, 3, 2, 4, 5  # N divisible by data=4 (pre-padded)
     feats = rng.normal(size=(N, F, Pp, D)).astype(np.float32)
     seg = rng.normal(size=(N, F, Dv)).astype(np.float32)
+    # tables are stored 2-D (rows flattened) — see DeviceFeatureTables
     tables = {
-        "feats": jax.device_put(feats, NamedSharding(mesh, P("data"))),
-        "seg": jax.device_put(seg, NamedSharding(mesh, P("data"))),
+        "feats": jax.device_put(
+            feats.reshape(N, -1), NamedSharding(mesh, P("data"))
+        ),
+        "seg": jax.device_put(
+            seg.reshape(N, -1), NamedSharding(mesh, P("data"))
+        ),
     }
     B, V = 8, 3
     rows = rng.integers(0, N, size=(B, V)).astype(np.int32)
     batch = {
         "vid_rows": jax.device_put(rows, NamedSharding(mesh, P("data"))),
+        "prop_mask": jax.device_put(
+            np.ones((B, V, F, Pp), np.float32), NamedSharding(mesh, P("data"))
+        ),
         "other": jax.device_put(
             np.arange(B, dtype=np.float32), NamedSharding(mesh, P("data"))
         ),
@@ -218,14 +226,22 @@ def test_half_tables_roundtrip():
     seg = rng.normal(size=(4, 2, 6)).astype(np.float32)
     tables = {
         "feats": jax.device_put(
-            feats.astype(jax.numpy.bfloat16), NamedSharding(mesh, P())
+            feats.reshape(4, -1).astype(jax.numpy.bfloat16),
+            NamedSharding(mesh, P()),
         ),
         "seg": jax.device_put(
-            seg.astype(jax.numpy.bfloat16), NamedSharding(mesh, P())
+            seg.reshape(4, -1).astype(jax.numpy.bfloat16),
+            NamedSharding(mesh, P()),
         ),
     }
     rows = np.asarray([[0, 3], [2, 1]], np.int32)
-    out = gather_from_tables({"vid_rows": jax.numpy.asarray(rows)}, tables)
+    out = gather_from_tables(
+        {
+            "vid_rows": jax.numpy.asarray(rows),
+            "prop_mask": jax.numpy.ones((2, 2, 2, 3)),
+        },
+        tables,
+    )
     assert out["props"].dtype == jax.numpy.float32
     np.testing.assert_allclose(
         np.asarray(out["props"]), feats[rows], rtol=8e-3, atol=8e-3

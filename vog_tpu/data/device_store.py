@@ -6,8 +6,9 @@ which costs ~330 ms through this environment's remote-TPU tunnel (measured,
 BASELINE.md §4) and real PCIe bandwidth + host RAM churn on any machine.
 The reference re-reads features from h5 on every batch (SURVEY §3.3).
 
-Here the whole table uploads ONCE: feats (N, F, P, prop_dim) and seg
-(N, F, seg_dim) device arrays, replicated over the mesh; batches then carry
+Here the whole table uploads ONCE: feats (N, F*P*prop_dim) and seg
+(N, F*seg_dim) 2-D device arrays (see DeviceFeatureTables for why the
+rows are flattened), replicated over the mesh; batches then carry
 only ``vid_rows (B, V) int32`` and the gather runs inside the jitted step
 (XLA dynamic-gather from HBM), so steady-state H2D is a few hundred KB of
 language/targets/boxes per batch.
@@ -58,10 +59,21 @@ class DeviceFeatureTables:
     """Builds (and uploads) the packed per-video feature tables.
 
     ``rows`` maps vid_seg -> row index; ``tables`` is the device pytree
-    {"feats": (N, F, P, D), "seg": (N, F, Dv)} — replicated over the mesh,
+    {"feats": (N, F*P*D), "seg": (N, F*Dv)} — replicated over the mesh,
     or with ``shard=True`` row-sharded over the mesh's 'data' axis (rows
     padded to a multiple of the axis size; gather then goes through
     ``sharded_gather_from_tables``).
+
+    Why 2-D rows (measured, round 3): for the natural 4-D (N,F,P,D)
+    table XLA picks an exotic parameter layout for the in-step gather
+    (major_to_minor (1,2,0,3) on upload vs {0,3,2,1} preferred by the
+    executable) and inserts a RELAYOUT COPY OF THE ENTIRE TABLE into the
+    step — doubling the table's HBM footprint (a 7.5 GB table OOMed a
+    16 GB chip) and paying a full-table pass per step.  The flattened
+    (N, row_bytes) form is the canonical embedding-table shape: default
+    (0,1) layout, gather reads only the requested rows, no copy
+    (verified by OOM-probe: a 9 GB 2-D bf16 table + jit take survives
+    where the 4-D form died).
     """
 
     def __init__(
@@ -90,6 +102,10 @@ class DeviceFeatureTables:
                 dst["feats"][i - row0, :fi, :pi] = fv[:fi, :pi]
                 dst["seg"][i - row0, : min(sv.shape[0], F)] = sv[:F]
 
+        def flat2d(arr: np.ndarray) -> np.ndarray:
+            # (rows, ...) -> (rows, prod(...)): free view (C-contiguous)
+            return arr.reshape(arr.shape[0], -1)
+
         if self.sharded:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -100,7 +116,7 @@ class DeviceFeatureTables:
             # table on the host, and fetch only locally-owned rows (the
             # 'model' axis replicates a row range across several devices)
             idx_map = sharding.addressable_devices_indices_map(
-                (n,) + shapes["feats"]
+                (n, int(np.prod(shapes["feats"])))
             )
             built: Dict[tuple, Dict[str, np.ndarray]] = {}
             for dev, idx in idx_map.items():
@@ -117,12 +133,15 @@ class DeviceFeatureTables:
             for k, shp in shapes.items():
                 per_dev = [
                     jax.device_put(
-                        built[(idx[0].start, idx[0].stop)][k].astype(dtype), dev
+                        flat2d(built[(idx[0].start, idx[0].stop)][k]).astype(
+                            dtype
+                        ),
+                        dev,
                     )
                     for dev, idx in idx_map.items()
                 ]
                 self.tables[k] = jax.make_array_from_single_device_arrays(
-                    (n,) + shp, sharding, per_dev
+                    (n, int(np.prod(shp))), sharding, per_dev
                 )
             return
 
@@ -136,24 +155,37 @@ class DeviceFeatureTables:
 
             sharding = NamedSharding(mesh, PartitionSpec())  # replicated
             self.tables = {
-                k: jax.device_put(v.astype(dtype), sharding)
+                k: jax.device_put(flat2d(v).astype(dtype), sharding)
                 for k, v in host.items()
             }
         else:
             self.tables = {
-                k: jax.device_put(v.astype(dtype)) for k, v in host.items()
+                k: jax.device_put(flat2d(v).astype(dtype))
+                for k, v in host.items()
             }
 
 
 def gather_from_tables(batch: Dict, tables: Dict) -> Dict:
-    """Inside-jit: resolve vid_rows against the resident tables so the
-    downstream path sees the canonical props/seg_feats batch schema."""
+    """Inside-jit: resolve vid_rows against the resident 2-D tables so
+    the downstream path sees the canonical props/seg_feats batch schema.
+    Clip-view dims are recovered statically from prop_mask + row width."""
     import jax.numpy as jnp
 
     rows = batch["vid_rows"]  # (B, V) int32
+    B, V, F, P = batch["prop_mask"].shape
+    D = tables["feats"].shape[1] // (F * P)
+    Dv = tables["seg"].shape[1] // F
     out = {k: v for k, v in batch.items() if k != "vid_rows"}
-    out["props"] = jnp.take(tables["feats"], rows, axis=0).astype(jnp.float32)
-    out["seg_feats"] = jnp.take(tables["seg"], rows, axis=0).astype(jnp.float32)
+    out["props"] = (
+        jnp.take(tables["feats"], rows, axis=0)
+        .reshape(B, V, F, P, D)
+        .astype(jnp.float32)
+    )
+    out["seg_feats"] = (
+        jnp.take(tables["seg"], rows, axis=0)
+        .reshape(B, V, F, Dv)
+        .astype(jnp.float32)
+    )
     return out
 
 
@@ -174,6 +206,9 @@ def sharded_gather_from_tables(batch: Dict, tables: Dict, mesh) -> Dict:
     from jax.sharding import PartitionSpec as P
 
     rows = batch["vid_rows"]  # (B, V) int32 — global batch
+    B, V, F, Pn = batch["prop_mask"].shape
+    D = tables["feats"].shape[1] // (F * Pn)
+    Dv = tables["seg"].shape[1] // F
     out = {k: v for k, v in batch.items() if k != "vid_rows"}
 
     def local(feats_loc, seg_loc, rows_full):
@@ -181,10 +216,10 @@ def sharded_gather_from_tables(batch: Dict, tables: Dict, mesh) -> Dict:
         start = jax.lax.axis_index("data") * nloc
         loc = jnp.clip(rows_full - start, 0, nloc - 1)
         mine = (rows_full >= start) & (rows_full < start + nloc)
-        f = jnp.take(feats_loc, loc, axis=0)  # (B, V, F, P, D)
-        s = jnp.take(seg_loc, loc, axis=0)  # (B, V, F, Dv)
-        f = jnp.where(mine[..., None, None, None], f, 0)
-        s = jnp.where(mine[..., None, None], s, 0)
+        f = jnp.take(feats_loc, loc, axis=0)  # (B, V, F*P*D)
+        s = jnp.take(seg_loc, loc, axis=0)  # (B, V, F*Dv)
+        f = jnp.where(mine[..., None], f, 0)
+        s = jnp.where(mine[..., None], s, 0)
         f = jax.lax.psum_scatter(f, "data", scatter_dimension=0, tiled=True)
         s = jax.lax.psum_scatter(s, "data", scatter_dimension=0, tiled=True)
         return f, s
@@ -195,6 +230,6 @@ def sharded_gather_from_tables(batch: Dict, tables: Dict, mesh) -> Dict:
         in_specs=(P("data"), P("data"), P()),
         out_specs=(P("data"), P("data")),
     )(tables["feats"], tables["seg"], rows)
-    out["props"] = props.astype(jnp.float32)
-    out["seg_feats"] = seg.astype(jnp.float32)
+    out["props"] = props.reshape(B, V, F, Pn, D).astype(jnp.float32)
+    out["seg_feats"] = seg.reshape(B, V, F, Dv).astype(jnp.float32)
     return out
