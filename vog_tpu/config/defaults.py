@@ -84,6 +84,13 @@ class MdlCfg:
     # the (B,H,T,T) weights + (B,H,A,T,dh) value streams never hit HBM in
     # the forward, so T is unbounded and batch headroom grows.
     mm_kernel: bool = True
+    # sequence-parallel ring attention: shard the token axis of the
+    # object-transformer / materialized-RPE attention over the mesh
+    # 'model' axis (kernels/ring_attention.py).  Activates only when a
+    # sequence-parallel mesh is installed (train.dist.set_sequence_parallel)
+    # and T divides the axis size; a TPU-native extension the reference's
+    # DDP-only backend has no analog of.
+    sp_attention: bool = False
     train_embeddings: bool = False  # fine-tune GloVe
 
 

@@ -70,11 +70,29 @@ PALLAS_MIN_T = 1024
 
 
 def attention(
-    q, k, v, key_mask, frame_bias=None, frame_ids=None, use_pallas: bool = False
+    q,
+    k,
+    v,
+    key_mask,
+    frame_bias=None,
+    frame_ids=None,
+    use_pallas: bool = False,
+    sequence_parallel: bool = False,
 ):
-    """Dispatch to the fused Pallas kernel on TPU for long sequences,
-    else plain XLA."""
+    """Dispatch: sequence-parallel ring attention when an SP mesh is
+    installed (token axis sharded over the mesh 'model' axis), else the
+    fused Pallas kernel on TPU for long sequences, else plain XLA."""
     T = q.shape[2]
+    if sequence_parallel:
+        from vog_tpu.train.dist import sequence_parallel as _sp
+
+        sp = _sp()
+        if sp is not None and T % sp[0].shape[sp[1]] == 0:
+            from vog_tpu.kernels.ring_attention import ring_attention
+
+            return ring_attention(
+                q, k, v, key_mask, frame_bias, frame_ids, mesh=sp[0], axis=sp[1]
+            )
     if use_pallas and T >= PALLAS_MIN_T and jax.default_backend() == "tpu":
         from vog_tpu.kernels.attention import flash_attention
 
@@ -103,7 +121,14 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         out = attention(
-            q, k, v, key_mask, None, frame_ids, use_pallas=m.use_pallas_attn
+            q,
+            k,
+            v,
+            key_mask,
+            None,
+            frame_ids,
+            use_pallas=m.use_pallas_attn,
+            sequence_parallel=m.sp_attention,
         )
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         out = nn.Dense(D, name="out")(out)
@@ -138,7 +163,14 @@ class RelMultiHeadAttention(nn.Module):
         frame_bias = table[:, jnp.asarray(dist)]  # (H,F,F)
 
         out = attention(
-            q, k, v, key_mask, frame_bias, frame_ids, use_pallas=m.use_pallas_attn
+            q,
+            k,
+            v,
+            key_mask,
+            frame_bias,
+            frame_ids,
+            use_pallas=m.use_pallas_attn,
+            sequence_parallel=m.sp_attention,
         )
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         out = nn.Dense(D, name="out")(out)

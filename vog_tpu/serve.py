@@ -33,8 +33,15 @@ class Predictor:
     the jitted call, so a GT5 request shrinks from ~34 MB of features to
     a few KB of metadata."""
 
-    def __init__(self, cfg: Cfg, params, glove: np.ndarray, tables=None):
+    def __init__(self, cfg: Cfg, params, glove: np.ndarray, tables=None, mesh=None):
         self.cfg = cfg
+        if cfg.mdl.sp_attention and mesh is not None:
+            # serving-latency sequence parallelism: the P100 forward is
+            # attention-dominated, so sharding T over the mesh cuts
+            # per-request latency by ~the axis size (ring attention)
+            from vog_tpu.train.dist import set_sequence_parallel
+
+            set_sequence_parallel(mesh)
         self.model = build_model(cfg, glove)
         self.params = params
         self.tables = tables

@@ -70,6 +70,24 @@ def param_shardings(mesh: Mesh, params: Dict) -> Dict:
     return traverse_util.unflatten_dict(out)
 
 
+# --- sequence parallelism ---------------------------------------------------
+# Installed process-wide before tracing (Learner/serve init or tests);
+# model.attention() routes to the ring kernel when set AND cfg.mdl
+# .sp_attention is on.  Kept out of Cfg because a Mesh is a runtime
+# object, not a serializable config value.
+_SP: tuple | None = None  # (mesh, axis_name)
+
+
+def set_sequence_parallel(mesh: Mesh | None, axis: str = "model") -> None:
+    """Install (or clear, with mesh=None) the sequence-parallel mesh."""
+    global _SP
+    _SP = None if mesh is None or mesh.shape[axis] <= 1 else (mesh, axis)
+
+
+def sequence_parallel() -> tuple | None:
+    return _SP
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch arrays are sharded on the leading (batch) dim over 'data'."""
     return NamedSharding(mesh, P("data"))

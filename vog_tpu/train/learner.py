@@ -69,6 +69,12 @@ class Learner:
         self.data = data
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg)
+        if cfg.mdl.sp_attention:
+            # sequence-parallel ring attention over the 'model' axis
+            # (kernels/ring_attention.py); no-op when the axis is size 1
+            from vog_tpu.train.dist import set_sequence_parallel
+
+            set_sequence_parallel(self.mesh)
         # reference parity: rank-0-only artifact writes (SURVEY §5 metrics
         # row) — every process computes, only process 0 touches the disk
         self._is_main = jax.process_index() == 0
