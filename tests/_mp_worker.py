@@ -132,6 +132,33 @@ def main() -> None:
         f"MP_SHARD_OK getitem {calls_loc}/{calls_dup}",
         flush=True,
     )
+
+    # --- full Learner.validate() across processes -------------------------
+    # Regression for the local-metadata/global-output mispairing: per-row
+    # eval outputs are sharded over processes; each process must pair its
+    # OWN rows with its local ann_idx, and the rank gather must cover
+    # every validation sample exactly once (learner._fetch_eval_out).
+    from vog_tpu.train.learner import Learner
+
+    cfg2.misc.multihost = True
+    cfg2.misc.mesh_data = n_global
+    cfg2.misc.mesh_model = 1
+    cfg2.train.bs = 1  # per-device -> global_bs == n_global
+    cfg2.train.epochs = 1
+    data3 = get_data(cfg2, gbs)
+    lrn = Learner("mpval", data3, cfg2, mesh=mesh)
+    metrics = lrn.validate()
+    assert np.isfinite(metrics["val_loss"]), metrics
+    if pid == 0:
+        import pickle
+
+        pred_file = lrn.dirs["predictions"] / "mpval_valid_0.pkl"
+        with open(pred_file, "rb") as f:
+            got = sorted(p["ann_idx"] for p in pickle.load(f))
+        assert len(got) == len(set(got)), f"duplicate ann_idx in preds: {got}"
+        assert len(got) == 8, got  # n_valid fixture samples, each once
+        print(f"MP_EVAL_OK n_preds={len(got)}", flush=True)
+
     print(f"MP_OK loss={loss:.6f}", flush=True)
 
 

@@ -68,6 +68,10 @@ def test_two_process_cluster_train_step_and_gather(tmp_path):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+    # full Learner.validate() across processes: rank-0's gathered
+    # predictions cover every validation sample exactly once (regression
+    # for the local-metadata/global-output mispairing)
+    assert re.search(r"MP_EVAL_OK n_preds=8", outs[0]), outs[0][-3000:]
     losses = [re.search(r"MP_OK loss=([\d.eE+-]+)", o) for o in outs]
     assert all(losses), outs
     l0, l1 = (float(m.group(1)) for m in losses)

@@ -502,8 +502,12 @@ class Learner:
             )
             out = self._eval_step(self.state, sb, self._tables)
             # one bulk device->host transfer per batch (each separate
-            # fetch costs a full round-trip through the TPU tunnel)
-            out = jax.device_get(out)
+            # fetch costs a full round-trip through the TPU tunnel).
+            # Multihost: per-row outputs are sharded over processes —
+            # fetch only THIS process's rows (device_get on the global
+            # array would touch non-addressable shards and the local
+            # metadata below only covers the local rows anyway).
+            out = self._fetch_eval_out(out)
             for k in list(sums.keys()):
                 sums[k] += float(out[k])
             pos_vid = np.asarray(batch["pos_vid"])
@@ -594,6 +598,40 @@ class Learner:
         metrics = finalize_metrics(sums)
         metrics["val_loss"] = sums["loss_sum"] / max(sums["n_batch"], 1.0)
         return metrics
+
+    def _fetch_eval_out(self, out) -> Dict:
+        """Device->host fetch of an eval-step output dict.
+
+        Single-process (or full-batch-duplication multihost): one bulk
+        ``device_get``.  Sharded-input multihost: scalars (metric sums,
+        psum'd over the global batch inside jit) fetch as-is, while
+        per-row arrays fetch ONLY the process-local rows by assembling
+        this process's addressable shards in row order — global rows
+        [lo, hi) — which aligns them with the loader's local metadata
+        (ann_idx/batch_mask/pos_vid).  Regression: tests/_mp_worker.py
+        asserts the gathered predictions cover every global ann_idx
+        exactly once across 2 OS processes.
+        """
+        if self._local_rows is None or jax.process_count() == 1:
+            return jax.device_get(out)
+        host = {}
+        for k, v in out.items():
+            if getattr(v, "ndim", 0) == 0:
+                host[k] = np.asarray(jax.device_get(v))
+                continue
+            blocks = {}
+            for s in v.addressable_shards:
+                sl = s.index[0] if s.index else slice(None)
+                start = sl.start or 0
+                if start not in blocks:  # 'model'-axis replicas: keep one
+                    blocks[start] = np.asarray(s.data)
+            arr = np.concatenate([blocks[s0] for s0 in sorted(blocks)], axis=0)
+            lo, hi = self._local_rows
+            if arr.shape[0] != hi - lo:
+                # replicated (or over-assembled) output: take our span
+                arr = arr[lo:hi]
+            host[k] = arr
+        return host
 
     def validate(self) -> Dict:
         return self._run_eval(self.data.valid_dl, "valid")

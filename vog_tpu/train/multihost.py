@@ -32,10 +32,12 @@ def gather_eval(sums: Dict[str, float], preds: List[Dict]) -> Tuple[Dict, List]:
     process this is an exact identity (modulo float32 rounding of sums).
     """
     keys = sorted(sums.keys())
-    vals = np.asarray([sums[k] for k in keys], np.float32)
-    gathered = np.asarray(multihost_utils.process_allgather(vals))
-    gathered = gathered.reshape(-1, len(keys))  # (n_proc, K)
-    out_sums = {k: float(gathered[:, i].sum()) for i, k in enumerate(keys)}
+    out_sums: Dict[str, float] = {}
+    if keys:  # sums may be {} (preds-only gather, e.g. sharded-input eval)
+        vals = np.asarray([sums[k] for k in keys], np.float32)
+        gathered = np.asarray(multihost_utils.process_allgather(vals))
+        gathered = gathered.reshape(-1, len(keys))  # (n_proc, K)
+        out_sums = {k: float(gathered[:, i].sum()) for i, k in enumerate(keys)}
 
     blob = np.frombuffer(pickle.dumps(preds), np.uint8)
     n = np.asarray([blob.size], np.int32)
