@@ -1,0 +1,107 @@
+"""train.steps_per_dispatch — the fused multi-step dispatch (lax.scan over
+a stacked (K, B, ...) batch tree) must be bit-identical to K sequential
+single-step dispatches, including the short final group of an epoch."""
+
+import numpy as np
+
+from tests.conftest import small_cfg
+from vog_tpu.data import get_data
+from vog_tpu.train import Learner, make_mesh
+
+
+def _learner(fixture_dir, tmp_path, uid, **over):
+    over.setdefault("mdl.name", "img_grnd")
+    over.setdefault("ds.conc_type", "svsq")
+    over.setdefault("train.bs", 4)
+    over.setdefault("misc.mesh_data", 1)
+    over.setdefault("train.log_every", 2)
+    cfg = small_cfg(fixture_dir, **over)
+    cfg.misc.tmp_path = str(tmp_path / "tmp" / uid)
+    mesh = make_mesh(cfg)
+    data = get_data(cfg, global_batch_size=cfg.train.bs * mesh.shape["data"])
+    return Learner(uid, data, cfg, mesh=mesh)
+
+
+def _params(lrn):
+    import jax
+
+    return jax.tree.leaves(jax.device_get(lrn.state.params))
+
+
+def test_multi_dispatch_bit_identical(fixture_dir, tmp_path):
+    # 48 train samples / bs 4 = 12 batches; K=5 -> groups of 5,5,2 (tail
+    # exercises the short-group retrace path)
+    single = _learner(fixture_dir, tmp_path, "sd1", **{"train.epochs": 1})
+    m1 = single.fit()
+    multi = _learner(
+        fixture_dir,
+        tmp_path,
+        "sdK",
+        **{"train.epochs": 1, "train.steps_per_dispatch": 5},
+    )
+    assert multi._multi == 5
+    assert multi.data.train_dl.group == 5
+    m2 = multi.fit()
+    for a, b in zip(_params(single), _params(multi)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(single.state.step) == int(multi.state.step) == 12
+    # eval path is untouched by the dispatch mode -> identical metrics
+    for k in ("acc", "vacc", "strict_acc", "cons"):
+        assert m1[k] == m2[k], (k, m1[k], m2[k])
+
+
+def test_multi_dispatch_with_device_store_and_guard(fixture_dir, tmp_path):
+    # the scan body includes the in-step feature gather (device store) and
+    # the skip_nonfinite guard state threading through the carry
+    over = {
+        "train.epochs": 1,
+        "ds.device_store": "on",
+        "train.skip_nonfinite": 2,
+    }
+    single = _learner(fixture_dir, tmp_path, "ds1", **over)
+    single.fit()
+    multi = _learner(
+        fixture_dir, tmp_path, "dsK", **{**over, "train.steps_per_dispatch": 4}
+    )
+    multi.fit()
+    for a, b in zip(_params(single), _params(multi)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_dispatch_disabled_under_checkify(fixture_dir, tmp_path):
+    lrn = _learner(
+        fixture_dir,
+        tmp_path,
+        "ck",
+        **{
+            "train.epochs": 1,
+            "train.steps_per_dispatch": 4,
+            "misc.checkify": True,
+        },
+    )
+    assert lrn._multi == 0  # fell back to per-step dispatch
+    assert lrn.data.train_dl.group == 1
+    lrn.fit()
+
+
+def test_multi_dispatch_resume_mid_epoch(fixture_dir, tmp_path):
+    # a mid-epoch resume (batch_in_epoch from ckpt meta) must land on a
+    # batch boundary and regroup the remaining batches
+    lrn = _learner(
+        fixture_dir,
+        tmp_path,
+        "rsA",
+        **{"train.epochs": 2, "train.steps_per_dispatch": 5},
+    )
+    lrn.fit()
+    full_params = _params(lrn)
+    # fresh learner, restore, confirm it can keep training
+    lrn2 = _learner(
+        fixture_dir,
+        tmp_path,
+        "rsA",
+        **{"train.epochs": 2, "train.steps_per_dispatch": 5, "train.resume": True},
+    )
+    assert lrn2.epoch == 2 and lrn2.batch_in_epoch == 0
+    for a, b in zip(full_params, _params(lrn2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

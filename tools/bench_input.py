@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     import jax
+    import numpy as np
 
     from __graft_entry__ import _cfg, _glove
     from vog_tpu.config import apply_matmul_precision, post_proc_config
@@ -100,9 +101,30 @@ def main():
     # epochs until N steps and takes the best of 2 passes (first pass
     # warms the memoization caches + prefetch thread).
     inline = os.environ.get("BENCH_INPUT_INLINE") == "1"
-    print(f"timing e2e epoch loop ({'inline' if inline else 'worker'} H2D)...", flush=True)
+    # BENCH_INPUT_K>1: fused multi-step dispatch (train.steps_per_dispatch
+    # equivalent) — K batches stacked into one H2D + one lax.scan dispatch
+    K = int(os.environ.get("BENCH_INPUT_K", "1"))
+    print(
+        f"timing e2e epoch loop ({'inline' if inline else 'worker'} H2D"
+        + (f", K={K} steps/dispatch" if K > 1 else "")
+        + ")...",
+        flush=True,
+    )
     del it
-    if not inline:
+    if K > 1:
+        from vog_tpu.train.dist import stack_shard_batches
+        from vog_tpu.train.state import make_multi_train_step
+
+        data.train_dl.group = K
+        data.train_dl.transform = lambda bs: stack_shard_batches(
+            bs, mesh, cfg.misc.half_feats
+        )
+        jmulti = jax.jit(
+            make_multi_train_step(cfg, device_store=(mode == "device")),
+            donate_argnums=(0,),
+        )
+        step = lambda s, b, r: jmulti(s, b, r, tables)
+    elif not inline:
         data.train_dl.transform = lambda b: shard_batch(
             b, mesh, cfg.misc.half_feats
         )
@@ -115,10 +137,10 @@ def main():
                 if inline:
                     b = shard_batch(b, mesh, cfg.misc.half_feats)
                 nonlocal_state[0], aux = step(nonlocal_state[0], b, rng)
-                n += 1
+                n += int(b["batch_mask"].shape[0]) if K > 1 else 1
                 if n >= N:
                     break
-        float(aux["loss"])
+        float(np.asarray(aux["loss"]).reshape(-1)[-1])
         return (time.perf_counter() - t0) / n
 
     nonlocal_state = [state]

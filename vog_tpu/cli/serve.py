@@ -69,7 +69,9 @@ def _build_predictor(cfg, uid: str, tag: str, random_init: bool):
         if cfg.ds.device_store == "on" or (
             jax.default_backend() == "tpu" and fits_device_store(cfg, n_videos)
         ):
-            dft = DeviceFeatureTables(cfg, store, half=cfg.misc.half_feats)
+            dft = DeviceFeatureTables(
+                cfg, store, half=cfg.misc.half_feats, int8=cfg.misc.int8_feats
+            )
             tables = dft.tables
             for dl in (data.train_dl, data.valid_dl, data.test_dl):
                 if dl is not None:

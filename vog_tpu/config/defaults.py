@@ -134,6 +134,15 @@ class TrainCfg:
     # compaction); metrics are exact either way, overflow only truncates
     # the offline re-scoring payload (and is warned about).
     eval_max_pairs: int = -1
+    # >1: fuse K train steps into ONE device dispatch (lax.scan over a
+    # stacked (K, B, ...) batch tree, one batched H2D for the K batches).
+    # Amortizes per-step dispatch latency — the last measured input-path
+    # overhead (~5 ms/step through the remote-TPU tunnel, BASELINE.md).
+    # Semantically identical to K single steps (tests/test_multi_dispatch
+    # .py asserts bit-identical params); ckpt/log cadence rounds to
+    # dispatch granularity.  Ignored under misc.checkify (per-step error
+    # sync) and multihost sharded input.
+    steps_per_dispatch: int = 1
 
 
 @dataclass
@@ -146,6 +155,13 @@ class MiscCfg:
     mesh_data: int = -1  # -1 = all devices on data axis
     mesh_model: int = 1
     half_feats: bool = False  # store features bf16 in HBM (compute stays fp32)
+    # int8-quantized device feature tables (per-proposal-vector symmetric
+    # scales, dequantized inside the jitted gather): 4x less HBM than f32,
+    # 2x less than half_feats — the lever that fits the ~100 GB real-ASRL
+    # P100 table on fewer chips.  Quantization error ≲1% per vector
+    # (tests/test_int8_store.py).  Only affects ds.device_store tables;
+    # host-path batches are untouched.  Overrides half_feats for tables.
+    int8_feats: bool = False
     # fp32 parity with the reference needs full-precision MXU matmuls
     # ("highest" = 3-pass bf16 fp32 emulation); "default" trades parity for
     # ~3x matmul speed

@@ -42,10 +42,17 @@ from vog_tpu.config import Cfg
 DEVICE_STORE_BUDGET_BYTES = 8 * 1024**3
 
 
+def store_elem_bytes(cfg: Cfg) -> int:
+    """Bytes per table element under the configured storage dtype."""
+    if cfg.misc.int8_feats:
+        return 1
+    return 2 if cfg.misc.half_feats else 4
+
+
 def table_bytes(cfg: Cfg, n_videos: int) -> int:
     ds = cfg.ds
     per_vid = ds.num_frms * (ds.num_prop_per_frm * ds.prop_dim + ds.seg_dim)
-    return n_videos * per_vid * 4
+    return n_videos * per_vid * store_elem_bytes(cfg)
 
 
 def fits_device_store(cfg: Cfg, n_videos: int, n_data_shards: int = 1) -> bool:
@@ -53,6 +60,28 @@ def fits_device_store(cfg: Cfg, n_videos: int, n_data_shards: int = 1) -> bool:
     the rows shard over the 'data' mesh axis, so each chip holds 1/n."""
     need = table_bytes(cfg, n_videos)
     return need <= DEVICE_STORE_BUDGET_BYTES * max(n_data_shards, 1)
+
+
+def _pack_rows(local: Dict[str, np.ndarray], dtype, int8: bool) -> Dict[str, np.ndarray]:
+    """Host (rows, ...) arrays -> the flat 2-D arrays to upload.
+
+    int8 mode quantizes per trailing vector (one symmetric scale per
+    proposal feature / per segment frame): q = round(x / s), s =
+    maxabs/127 — relative error ≲1% on fc6-like activations, 4x less
+    HBM than f32.  Emits a ``{k}_scale`` (rows, n_vectors) f32 array next
+    to each int8 table; the in-step gather dequantizes.
+    """
+    out = {}
+    for k, v in local.items():
+        if int8:
+            s = np.max(np.abs(v), axis=-1) / 127.0
+            s = np.where(s == 0, 1.0, s).astype(np.float32)
+            q = np.clip(np.round(v / s[..., None]), -127, 127).astype(np.int8)
+            out[k] = q.reshape(q.shape[0], -1)
+            out[k + "_scale"] = s.reshape(s.shape[0], -1)
+        else:
+            out[k] = v.reshape(v.shape[0], -1).astype(dtype)
+    return out
 
 
 class DeviceFeatureTables:
@@ -77,7 +106,13 @@ class DeviceFeatureTables:
     """
 
     def __init__(
-        self, cfg: Cfg, store, mesh=None, half: bool = False, shard: bool = False
+        self,
+        cfg: Cfg,
+        store,
+        mesh=None,
+        half: bool = False,
+        shard: bool = False,
+        int8: bool = False,
     ):
         import jax
 
@@ -87,6 +122,7 @@ class DeviceFeatureTables:
         self.rows: Dict[str, int] = {v: i for i, v in enumerate(vids)}
         n = len(vids)
         self.sharded = bool(shard and mesh is not None and mesh.shape["data"] > 1)
+        self.int8 = bool(int8)
         dtype = jax.numpy.bfloat16 if half else jax.numpy.float32
         shapes = {
             "feats": (F, P, ds.prop_dim),
@@ -101,10 +137,6 @@ class DeviceFeatureTables:
                 fi, pi = min(fv.shape[0], F), min(fv.shape[1], P)
                 dst["feats"][i - row0, :fi, :pi] = fv[:fi, :pi]
                 dst["seg"][i - row0, : min(sv.shape[0], F)] = sv[:F]
-
-        def flat2d(arr: np.ndarray) -> np.ndarray:
-            # (rows, ...) -> (rows, prod(...)): free view (C-contiguous)
-            return arr.reshape(arr.shape[0], -1)
 
         if self.sharded:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -128,20 +160,18 @@ class DeviceFeatureTables:
                         for k, s in shapes.items()
                     }
                     fill(local, sl.start, sl.stop)
-                    built[key] = local
+                    built[key] = _pack_rows(local, dtype, self.int8)
             self.tables = {}
-            for k, shp in shapes.items():
+            widths = {
+                k: v.shape[1] for k, v in next(iter(built.values())).items()
+            }
+            for k, width in widths.items():
                 per_dev = [
-                    jax.device_put(
-                        flat2d(built[(idx[0].start, idx[0].stop)][k]).astype(
-                            dtype
-                        ),
-                        dev,
-                    )
+                    jax.device_put(built[(idx[0].start, idx[0].stop)][k], dev)
                     for dev, idx in idx_map.items()
                 ]
                 self.tables[k] = jax.make_array_from_single_device_arrays(
-                    (n, int(np.prod(shp))), sharding, per_dev
+                    (n, width), sharding, per_dev
                 )
             return
 
@@ -150,19 +180,16 @@ class DeviceFeatureTables:
             "seg": np.zeros((n,) + shapes["seg"], np.float32),
         }
         fill(host, 0, n)
+        packed = _pack_rows(host, dtype, self.int8)
         if mesh is not None and not mesh.empty:
             from jax.sharding import NamedSharding, PartitionSpec
 
             sharding = NamedSharding(mesh, PartitionSpec())  # replicated
             self.tables = {
-                k: jax.device_put(flat2d(v).astype(dtype), sharding)
-                for k, v in host.items()
+                k: jax.device_put(v, sharding) for k, v in packed.items()
             }
         else:
-            self.tables = {
-                k: jax.device_put(flat2d(v).astype(dtype))
-                for k, v in host.items()
-            }
+            self.tables = {k: jax.device_put(v) for k, v in packed.items()}
 
 
 def gather_from_tables(batch: Dict, tables: Dict) -> Dict:
@@ -176,16 +203,23 @@ def gather_from_tables(batch: Dict, tables: Dict) -> Dict:
     D = tables["feats"].shape[1] // (F * P)
     Dv = tables["seg"].shape[1] // F
     out = {k: v for k, v in batch.items() if k != "vid_rows"}
-    out["props"] = (
+    props = (
         jnp.take(tables["feats"], rows, axis=0)
         .reshape(B, V, F, P, D)
         .astype(jnp.float32)
     )
-    out["seg_feats"] = (
+    seg = (
         jnp.take(tables["seg"], rows, axis=0)
         .reshape(B, V, F, Dv)
         .astype(jnp.float32)
     )
+    if "feats_scale" in tables:  # int8 tables: dequantize per vector
+        fs = jnp.take(tables["feats_scale"], rows, axis=0).reshape(B, V, F, P, 1)
+        ss = jnp.take(tables["seg_scale"], rows, axis=0).reshape(B, V, F, 1)
+        props = props * fs
+        seg = seg * ss
+    out["props"] = props
+    out["seg_feats"] = seg
     return out
 
 
@@ -210,26 +244,43 @@ def sharded_gather_from_tables(batch: Dict, tables: Dict, mesh) -> Dict:
     D = tables["feats"].shape[1] // (F * Pn)
     Dv = tables["seg"].shape[1] // F
     out = {k: v for k, v in batch.items() if k != "vid_rows"}
+    int8 = "feats_scale" in tables
 
-    def local(feats_loc, seg_loc, rows_full):
+    def local(feats_loc, seg_loc, fs_loc, ss_loc, rows_full):
         nloc = feats_loc.shape[0]
         start = jax.lax.axis_index("data") * nloc
         loc = jnp.clip(rows_full - start, 0, nloc - 1)
         mine = (rows_full >= start) & (rows_full < start + nloc)
         f = jnp.take(feats_loc, loc, axis=0)  # (B, V, F*P*D)
         s = jnp.take(seg_loc, loc, axis=0)  # (B, V, F*Dv)
+        if int8:  # dequantize locally; the scatter then carries f32
+            fs = jnp.take(fs_loc, loc, axis=0)  # (B, V, F*P)
+            ss = jnp.take(ss_loc, loc, axis=0)  # (B, V, F)
+            f = (
+                f.astype(jnp.float32).reshape(*f.shape[:-1], F * Pn, D)
+                * fs[..., None]
+            ).reshape(f.shape)
+            s = (
+                s.astype(jnp.float32).reshape(*s.shape[:-1], F, Dv)
+                * ss[..., None]
+            ).reshape(s.shape)
         f = jnp.where(mine[..., None], f, 0)
         s = jnp.where(mine[..., None], s, 0)
         f = jax.lax.psum_scatter(f, "data", scatter_dimension=0, tiled=True)
         s = jax.lax.psum_scatter(s, "data", scatter_dimension=0, tiled=True)
         return f, s
 
+    scales = (
+        (tables["feats_scale"], tables["seg_scale"])
+        if int8
+        else (tables["feats"][:, :0], tables["seg"][:, :0])  # unused dummies
+    )
     props, seg = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("data"), P("data"), P()),
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P()),
         out_specs=(P("data"), P("data")),
-    )(tables["feats"], tables["seg"], rows)
+    )(tables["feats"], tables["seg"], scales[0], scales[1], rows)
     out["props"] = props.reshape(B, V, F, Pn, D).astype(jnp.float32)
     out["seg_feats"] = seg.reshape(B, V, F, Dv).astype(jnp.float32)
     return out

@@ -60,6 +60,11 @@ class BatchIterator:
         # previous step's compute instead of stalling the step loop
         # (VERDICT r2 item 1: the residual synchronous per-step H2D).
         self.transform: Optional[Callable[[Dict], Dict]] = None
+        # >1: yield GROUPS of `group` consecutive batches (the final group
+        # of an epoch may be short).  The transform then receives the list
+        # — the Learner installs stack_shard_batches here for the fused
+        # multi-step dispatch (train.steps_per_dispatch).
+        self.group: int = 1
         # multi-host input sharding (the DistributedSampler analog,
         # SURVEY §2 distributed row): when set to (start, stop), this
         # process materializes ONLY rows [start, stop) of each global
@@ -109,9 +114,16 @@ class BatchIterator:
         self.start_batch = 0
         batches = self._index_batches(epoch)[start:]
         tf = self.transform if self.transform is not None else (lambda b: b)
+        if self.group > 1:
+            g = self.group
+            units = [batches[i : i + g] for i in range(0, len(batches), g)]
+            make = lambda u: tf([self._make_batch(b, epoch) for b in u])
+        else:
+            units = batches
+            make = lambda b: tf(self._make_batch(b, epoch))
         if self.prefetch <= 0:
-            for b in batches:
-                yield tf(self._make_batch(b, epoch))
+            for u in units:
+                yield make(u)
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -132,8 +144,8 @@ class BatchIterator:
 
         def worker():
             try:
-                for b in batches:
-                    if stop.is_set() or not _put(tf(self._make_batch(b, epoch))):
+                for u in units:
+                    if stop.is_set() or not _put(make(u)):
                         return
             except BaseException as e:  # propagate to the consumer
                 failure.append(e)

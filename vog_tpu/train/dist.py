@@ -122,6 +122,24 @@ def shard_batch(
     return jax.device_put(host, sh)
 
 
+def stack_shard_batches(
+    batches, mesh: Mesh, half_feats: bool = False
+) -> Dict:
+    """K host batches -> ONE (K, B, ...) device tree for the fused
+    multi-step dispatch (``train.steps_per_dispatch``): stacked on a new
+    leading scan axis, batch axis (now axis 1) sharded over 'data', and
+    transferred in a single batched ``device_put`` — one H2D dispatch for
+    K steps instead of K."""
+    sh = NamedSharding(mesh, P(None, "data"))
+    host = {}
+    for k in batches[0]:
+        v = np.stack([b[k] for b in batches])
+        if half_feats and k in HALF_KEYS:
+            v = v.astype(jnp.bfloat16)
+        host[k] = v
+    return jax.device_put(host, sh)
+
+
 def local_batch_rows(mesh: Mesh, global_bs: int):
     """-> (start, stop) rows of the global batch owned by THIS process's
     addressable devices under ``batch_sharding(mesh)``, or None if the

@@ -128,7 +128,12 @@ class Learner:
             ):
                 shard = want == "shard" or (not fits_rep and fits_shard)
                 dft = DeviceFeatureTables(
-                    cfg, store, self.mesh, half=cfg.misc.half_feats, shard=shard
+                    cfg,
+                    store,
+                    self.mesh,
+                    half=cfg.misc.half_feats,
+                    shard=shard,
+                    int8=cfg.misc.int8_feats,
                 )
                 self._tables = dft.tables
                 self._device_store = True
@@ -218,6 +223,34 @@ class Learner:
         # (VERDICT r2 item 1).  Eval keeps inline transfer — _run_eval
         # needs host-side fields before transfer.
         data.train_dl.transform = self._to_global
+
+        # fused multi-step dispatch (train.steps_per_dispatch > 1): the
+        # loader groups K batches, stacks them into one (K, B, ...) tree
+        # with a single batched H2D, and ONE lax.scan dispatch runs the K
+        # steps — amortizing per-step dispatch latency (the last measured
+        # input-path overhead, BASELINE.md).  Bit-identical to K single
+        # dispatches (tests/test_multi_dispatch.py).
+        self._multi = 0
+        if cfg.train.steps_per_dispatch > 1:
+            if cfg.misc.checkify or self._local_rows is not None:
+                self.log(
+                    "train.steps_per_dispatch disabled: incompatible with "
+                    "misc.checkify (per-step error sync) / multihost "
+                    "sharded input — using single-step dispatch"
+                )
+            else:
+                from vog_tpu.train.dist import stack_shard_batches
+                from vog_tpu.train.state import make_multi_train_step
+
+                self._multi = cfg.train.steps_per_dispatch
+                self._train_step_multi = jax.jit(
+                    make_multi_train_step(cfg, dstore, self._store_mesh),
+                    donate_argnums=(0,),
+                )
+                data.train_dl.group = self._multi
+                data.train_dl.transform = lambda bs: stack_shard_batches(
+                    bs, self.mesh, cfg.misc.half_feats
+                )
 
         if cfg.train.resume:
             self.load(cfg.train.resume_path or None)
@@ -396,50 +429,69 @@ class Learner:
             n_seen = 0
             profiling = False
             self.data.train_dl.start_batch = skip
-            for i, batch in enumerate(self.data.train_dl, start=skip):
-                self.batch_in_epoch = i + 1
-                if cfg.misc.profile_dir and i == 1:  # skip compile step
+            it_pos = skip  # batch index; a multi dispatch advances it by K
+            unit_idx = 0  # dispatch-unit counter (== batch idx when K=1)
+            for batch in self.data.train_dl:
+                i = it_pos  # first batch index covered by this dispatch
+                kb = (
+                    int(batch["batch_mask"].shape[0]) if self._multi else 1
+                )  # final group of an epoch may be short
+                self.batch_in_epoch = i + kb
+                if cfg.misc.profile_dir and unit_idx == 1:  # skip compile
                     jax.profiler.start_trace(cfg.misc.profile_dir)
                     profiling = True
                 if self.data.train_dl.transform is None:
                     batch = self._to_global(batch)
                 with jax.profiler.StepTraceAnnotation("train", step_num=i):
-                    self.state, aux = self._train_step(
-                        self.state, batch, self.rng, self._tables
-                    )
-                if profiling and i >= cfg.misc.profile_steps:
+                    if self._multi:
+                        self.state, aux = self._train_step_multi(
+                            self.state, batch, self.rng, self._tables
+                        )
+                    else:
+                        self.state, aux = self._train_step(
+                            self.state, batch, self.rng, self._tables
+                        )
+                if profiling and i + kb > cfg.misc.profile_steps:
                     jax.block_until_ready(aux["loss"])
                     jax.profiler.stop_trace()
                     profiling = False
                     self.log(f"profiler trace written to {cfg.misc.profile_dir}")
-                n_seen += self.global_bs
-                host_step += 1
-                if (
-                    cfg.train.ckpt_every_steps
-                    and host_step % cfg.train.ckpt_every_steps == 0
+                n_seen += self.global_bs * kb
+                host_step += kb
+                it_pos += kb
+                unit_idx += 1
+                if cfg.train.ckpt_every_steps and (
+                    host_step // cfg.train.ckpt_every_steps
+                    > (host_step - kb) // cfg.train.ckpt_every_steps
                 ):
                     # non-blocking: the commit overlaps subsequent steps
                     self.save("last", blocking=not cfg.train.async_ckpt)
-                if (i + 1) % cfg.train.log_every == 0 or i == 0:
-                    loss = float(aux["loss"])
-                    if not np.isfinite(loss):
+                # log when this dispatch crossed a log_every boundary
+                if i == 0 or (it_pos // cfg.train.log_every) > (
+                    i // cfg.train.log_every
+                ):
+                    lo = np.asarray(aux["loss"]).reshape(-1)
+                    loss = float(lo[-1])
+                    if not np.all(np.isfinite(lo)):
                         # with the skip_nonfinite guard the bad update was
                         # dropped — note it and continue; otherwise the
                         # weights are poisoned and the run must abort
                         if cfg.train.skip_nonfinite > 0:
                             self.log(
-                                f"ep {self.epoch} it {i} non-finite loss "
-                                "(update dropped by skip_nonfinite)"
+                                f"ep {self.epoch} it {it_pos - 1} non-finite "
+                                "loss (update dropped by skip_nonfinite)"
                             )
                             continue
                         if cfg.misc.check_nans:
+                            gn = np.asarray(aux["grad_norm"]).reshape(-1)
                             raise FloatingPointError(
                                 f"non-finite loss {loss} at ep {self.epoch} "
-                                f"it {i} (grad_norm={float(aux['grad_norm'])})"
+                                f"it {it_pos - 1} (grad_norm={float(gn[-1])})"
                             )
-                    smooth.add_value(loss)
+                    for v in lo:
+                        smooth.add_value(float(v))
                     self.log(
-                        f"ep {self.epoch} it {i} loss {loss:.4f} "
+                        f"ep {self.epoch} it {it_pos - 1} loss {loss:.4f} "
                         f"smooth {smooth.smooth:.4f}"
                     )
             if profiling:

@@ -248,6 +248,30 @@ def make_train_step(
     return train_step
 
 
+def make_multi_train_step(
+    cfg: Cfg, device_store: bool = False, store_mesh=None
+) -> Callable:
+    """K train steps fused into one dispatch (``train.steps_per_dispatch``).
+
+    ``stacked`` is a pytree of (K, B, ...) arrays — K host batches stacked
+    on a new leading axis (dist.stack_shard_batches) — and the body is the
+    exact single-batch ``train_step`` under ``lax.scan``, so the result is
+    bit-identical to K sequential dispatches (per-step dropout keys still
+    differ: the body folds ``state.step`` into the rng and step increments
+    every scan iteration).  The win is host-side: one dispatch + one H2D per
+    K steps instead of K round-trips (BASELINE.md input-path table).
+    """
+    step = make_train_step(cfg, device_store, store_mesh)
+
+    def multi_step(state: TrainState, stacked: Dict, rng: jax.Array, tables=None):
+        def body(s, b):
+            return step(s, b, rng, tables)
+
+        return jax.lax.scan(body, state, stacked)
+
+    return multi_step
+
+
 def make_eval_step(
     cfg: Cfg, device_store: bool = False, store_mesh=None
 ) -> Callable:
