@@ -180,3 +180,18 @@ def test_skip_nonfinite_learner_run_continues(fixture_dir, tmp_path):
     assert np.isfinite(m["val_loss"])
     log = (tmp_path / "tmp" / "txt_logs" / "nfr.txt").read_text()
     assert "update dropped by skip_nonfinite" in log
+
+
+def test_compile_cache_config(tmp_path):
+    """misc.compile_cache routes the persistent XLA compilation cache to
+    the given dir (and creates it); "" leaves the jax default alone."""
+    from vog_tpu.config import apply_matmul_precision
+    from tests.conftest import small_cfg as _sc
+
+    cfg = _sc(str(tmp_path))
+    cache = tmp_path / "jc"
+    cfg.misc.compile_cache = str(cache)
+    apply_matmul_precision(cfg)
+    assert cache.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(cache)
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == 1.0

@@ -174,15 +174,31 @@ class MiscCfg:
     check_nans: bool = True  # raise on non-finite loss at log points
     checkify: bool = False  # wrap train step with jax checkify NaN/div guards
     multihost: bool = False  # jax.distributed.initialize() before mesh setup
+    # persistent XLA compilation cache: compiled executables serialize to
+    # this dir and later processes skip the compile entirely.  Crucial on
+    # high-latency/loaded TPU links — the SAME program measured 16 s to
+    # 907 s first-step compile through this environment's tunnel
+    # (BASELINE.md skip_nonfinite section); with the cache warm, restart/
+    # resume/serve processes pay ~0.  "" disables.
+    compile_cache: str = "tmp/jax_cache"
 
 
 def apply_matmul_precision(cfg: "Cfg") -> None:
-    """Apply global runtime flags (matmul precision + PRNG implementation)."""
+    """Apply global runtime flags (matmul precision + PRNG implementation
+    + persistent compile cache)."""
     import jax
 
     jax.config.update("jax_default_matmul_precision", cfg.misc.matmul_precision)
     if jax.default_backend() == "tpu":
         jax.config.update("jax_default_prng_impl", cfg.misc.prng_impl)
+    if cfg.misc.compile_cache:
+        from pathlib import Path
+
+        Path(cfg.misc.compile_cache).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cfg.misc.compile_cache)
+        # cache everything that took >1s to compile (default threshold
+        # misses mid-sized programs that still cost seconds per restart)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @dataclass

@@ -84,6 +84,96 @@ def _pack_rows(local: Dict[str, np.ndarray], dtype, int8: bool) -> Dict[str, np.
     return out
 
 
+# streaming-build chunk size: bounds the host staging buffer (and thus the
+# host's first-touch cost) while keeping device_put dispatches few
+_STREAM_CHUNK_BYTES = 64 << 20
+
+
+def _stream_build_tables(
+    vids, store, shapes: Dict[str, tuple], dtype, int8: bool, n: int, sharding
+) -> Dict[str, np.ndarray]:
+    """Build the packed device tables by STREAMING row chunks to the device.
+
+    Why not build-then-upload (measured on this host, docs/ROUND3_NOTES):
+    the bulk path first-touches ~3 full copies of the table in host RAM
+    (f32 staging -> packed cast -> transfer) and large fresh allocations
+    fault in at ~5-10 MB/s on memory-ballooned VMs — a 1.6 GB table cost
+    ~15 min of pure page faults.  Here the only big host buffer is ONE
+    reused ~64 MB staging chunk: each chunk is packed (cast / per-vector
+    int8 quantization) into the staging, device_put, and folded into the
+    device-resident table with a DONATED ``lax.dynamic_update_slice`` —
+    in-place in HBM, peak device memory = table + one chunk.  Numerically
+    identical to ``_pack_rows`` (same casts, same scales).
+
+    ``vids`` may be shorter than ``n`` (sharded padding): missing rows
+    stay zero.  Returns the table dict (+ ``{k}_scale`` rows for int8).
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    np_dt = np.dtype(np.int8) if int8 else np.dtype(dtype)
+    widths = {k: int(np.prod(s)) for k, s in shapes.items()}
+    chunk = max(1, _STREAM_CHUNK_BYTES // (widths["feats"] * np_dt.itemsize))
+
+    def dev_zeros(shape, dt):
+        f = jax.jit(partial(jnp.zeros, shape, dt), out_shardings=sharding)
+        return f()
+
+    def updater():
+        return jax.jit(
+            lambda t, c, i: jax.lax.dynamic_update_slice(t, c, (i, 0)),
+            donate_argnums=(0,),
+            out_shardings=sharding,
+        )
+
+    tables = {k: dev_zeros((n, w), np_dt) for k, w in widths.items()}
+    upd = {k: updater() for k in widths}
+    scales = (
+        {k: np.zeros((n, int(np.prod(s[:-1]))), np.float32) for k, s in shapes.items()}
+        if int8
+        else {}
+    )
+    stag = {k: np.empty((chunk, w), np_dt) for k, w in widths.items()}
+    tmp = {k: np.zeros(s, np.float32) for k, s in shapes.items()}
+
+    F, P = shapes["feats"][0], shapes["feats"][1]
+    for i0 in range(0, n, chunk):
+        m = min(chunk, n - i0)
+        for j in range(m):
+            vi = i0 + j
+            if vi < len(vids):
+                fv, _, _, sv = store.get(vids[vi])
+                fi, pi = min(fv.shape[0], F), min(fv.shape[1], P)
+                tmp["feats"][:] = 0
+                tmp["feats"][:fi, :pi] = fv[:fi, :pi]
+                tmp["seg"][:] = 0
+                tmp["seg"][: min(sv.shape[0], F)] = sv[:F]
+            else:  # padding row (sharded equal-size rounding)
+                tmp["feats"][:] = 0
+                tmp["seg"][:] = 0
+            for k in widths:
+                v = tmp[k]
+                if int8:
+                    s = np.max(np.abs(v), axis=-1) / 127.0
+                    s = np.where(s == 0, 1.0, s).astype(np.float32)
+                    scales[k][i0 + j] = s.reshape(-1)
+                    stag[k][j] = (
+                        np.clip(np.round(v / s[..., None]), -127, 127)
+                        .astype(np.int8)
+                        .reshape(-1)
+                    )
+                else:
+                    # assignment casts f32 -> dtype (same rounding as astype)
+                    stag[k][j] = v.reshape(-1)
+        for k in widths:
+            cdev = jax.device_put(stag[k][:m], sharding)
+            tables[k] = upd[k](tables[k], cdev, jnp.int32(i0))
+    for k, sc in scales.items():
+        tables[k + "_scale"] = jax.device_put(sc, sharding)
+    return tables
+
+
 class DeviceFeatureTables:
     """Builds (and uploads) the packed per-video feature tables.
 
@@ -129,67 +219,62 @@ class DeviceFeatureTables:
             "seg": (F, ds.seg_dim),
         }
 
-        def fill(dst, row0, row1):
-            # read ONLY rows [row0, row1) from the store (at 100 GB scale
-            # each host touches just its slice of the dataset)
-            for i in range(row0, min(row1, len(vids))):
-                fv, _, _, sv = store.get(vids[i])
-                fi, pi = min(fv.shape[0], F), min(fv.shape[1], P)
-                dst["feats"][i - row0, :fi, :pi] = fv[:fi, :pi]
-                dst["seg"][i - row0, : min(sv.shape[0], F)] = sv[:F]
-
         if self.sharded:
-            from jax.sharding import NamedSharding, PartitionSpec
+            from jax.sharding import (
+                NamedSharding,
+                PartitionSpec,
+                SingleDeviceSharding,
+            )
 
             nd = mesh.shape["data"]
             n = ((n + nd - 1) // nd) * nd  # equal-sized row shards
             sharding = NamedSharding(mesh, PartitionSpec("data"))
-            # build per-addressable-shard: never materialize the full
-            # table on the host, and fetch only locally-owned rows (the
-            # 'model' axis replicates a row range across several devices)
+            # build per-addressable-shard: stream ONLY locally-owned rows
+            # to each device (at 100 GB scale each host touches just its
+            # slice of the dataset; the 'model' axis replicates a row
+            # range across several devices — stream it once, reuse)
             idx_map = sharding.addressable_devices_indices_map(
                 (n, int(np.prod(shapes["feats"])))
             )
-            built: Dict[tuple, Dict[str, np.ndarray]] = {}
+            built: Dict[tuple, Dict] = {}
+            dev_for: Dict[object, tuple] = {}
             for dev, idx in idx_map.items():
                 sl = idx[0]
                 key = (sl.start, sl.stop)
+                dev_for[dev] = key
                 if key not in built:
-                    local = {
-                        k: np.zeros((sl.stop - sl.start,) + s, np.float32)
-                        for k, s in shapes.items()
-                    }
-                    fill(local, sl.start, sl.stop)
-                    built[key] = _pack_rows(local, dtype, self.int8)
+                    built[key] = _stream_build_tables(
+                        vids[sl.start : sl.stop],
+                        store,
+                        shapes,
+                        dtype,
+                        self.int8,
+                        sl.stop - sl.start,
+                        SingleDeviceSharding(dev),
+                    )
             self.tables = {}
-            widths = {
-                k: v.shape[1] for k, v in next(iter(built.values())).items()
-            }
-            for k, width in widths.items():
-                per_dev = [
-                    jax.device_put(built[(idx[0].start, idx[0].stop)][k], dev)
-                    for dev, idx in idx_map.items()
-                ]
+            for k in next(iter(built.values())):
+                per_dev = []
+                for dev, idx in idx_map.items():
+                    v = built[dev_for[dev]][k]
+                    # each entry must live on ITS device (replicated model
+                    # axis shares a range; re-put pins the right device)
+                    per_dev.append(jax.device_put(v, SingleDeviceSharding(dev)))
+                width = per_dev[0].shape[1]
                 self.tables[k] = jax.make_array_from_single_device_arrays(
                     (n, width), sharding, per_dev
                 )
             return
 
-        host = {
-            "feats": np.zeros((n,) + shapes["feats"], np.float32),
-            "seg": np.zeros((n,) + shapes["seg"], np.float32),
-        }
-        fill(host, 0, n)
-        packed = _pack_rows(host, dtype, self.int8)
         if mesh is not None and not mesh.empty:
             from jax.sharding import NamedSharding, PartitionSpec
 
             sharding = NamedSharding(mesh, PartitionSpec())  # replicated
-            self.tables = {
-                k: jax.device_put(v, sharding) for k, v in packed.items()
-            }
         else:
-            self.tables = {k: jax.device_put(v) for k, v in packed.items()}
+            sharding = None
+        self.tables = _stream_build_tables(
+            vids, store, shapes, dtype, self.int8, n, sharding
+        )
 
 
 def gather_from_tables(batch: Dict, tables: Dict) -> Dict:
