@@ -84,6 +84,45 @@ def test_multi_dispatch_disabled_under_checkify(fixture_dir, tmp_path):
     lrn.fit()
 
 
+def test_multi_dispatch_mid_epoch_crash_resume_bit_identical(
+    fixture_dir, tmp_path
+):
+    """Crash after a mid-epoch dispatch + resume must reproduce the
+    uninterrupted multi-dispatch run bit-for-bit: the resume seeks to the
+    saved batch position (batch units, not dispatch units) and regroups
+    the remaining batches."""
+    K = 5  # 12 batches/epoch -> dispatch covers batches [0,5) [5,10) [10,12)
+    over = {"train.epochs": 2, "train.steps_per_dispatch": K}
+    full = _learner(fixture_dir, tmp_path, "crA", **over)
+    full.fit()
+    want = _params(full)
+
+    crash = _learner(fixture_dir, tmp_path, "crB", **over)
+    crash.fit(epochs=1)  # epoch 0 complete (saved "last" at epoch end)
+    # simulate: epoch 1 runs 2 dispatches (10 batches) then crashes;
+    # emulate by manual state -- run one epoch partially via the loader
+    crash.data.train_dl.epoch = crash.epoch
+    it = iter(crash.data.train_dl)
+    for _ in range(2):  # two dispatches = batches [0,10)
+        b = next(it)
+        crash.state, _ = crash._train_step_multi(
+            crash.state, b, crash.rng, crash._tables
+        )
+    it.close()
+    crash.batch_in_epoch = 10
+    crash.save("last")
+
+    resumed = _learner(
+        fixture_dir, tmp_path, "crB", **{**over, "train.resume": True}
+    )
+    assert resumed.batch_in_epoch == 10
+    resumed.fit(epochs=1)  # finishes epoch 1: batches [10,12)
+    got = _params(resumed)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(resumed.state.step) == int(full.state.step)
+
+
 def test_multi_dispatch_resume_mid_epoch(fixture_dir, tmp_path):
     # a mid-epoch resume (batch_in_epoch from ckpt meta) must land on a
     # batch boundary and regroup the remaining batches
