@@ -123,6 +123,58 @@ def test_multi_dispatch_mid_epoch_crash_resume_bit_identical(
     assert int(resumed.state.step) == int(full.state.step)
 
 
+def test_eval_batches_per_dispatch_identical(fixture_dir, tmp_path):
+    """Fused multi-batch eval (scan over E stacked eval batches + one
+    bulk fetch) must reproduce the per-batch path exactly: same metric
+    dict, same predictions payload (incl. the short tail group)."""
+    import pickle
+
+    # 24 valid samples / bs 4 = 6 batches; E=4 -> groups of 4 and 2 (tail)
+    base = {"train.epochs": 1, "mdl.name": "vog", "ds.conc_type": "spat"}
+    single = _learner(fixture_dir, tmp_path, "ev1", **base)
+    m1 = single.validate()
+    fused = _learner(
+        fixture_dir,
+        tmp_path,
+        "evE",
+        **{**base, "train.eval_batches_per_dispatch": 4},
+    )
+    # same init (same seed path) -> same params; only the dispatch differs
+    assert fused._eval_multi == 4
+    m2 = fused.validate()
+    for k in m1:
+        assert m1[k] == m2[k], (k, m1[k], m2[k])
+    p1 = pickle.loads(
+        (single.dirs["predictions"] / "ev1_valid_0.pkl").read_bytes()
+    )
+    p2 = pickle.loads(
+        (fused.dirs["predictions"] / "evE_valid_0.pkl").read_bytes()
+    )
+    assert p1 == p2
+
+
+def test_eval_dispatch_follows_steps_per_dispatch(fixture_dir, tmp_path):
+    # eval_batches_per_dispatch=0 inherits steps_per_dispatch
+    lrn = _learner(
+        fixture_dir,
+        tmp_path,
+        "evF",
+        **{"train.epochs": 1, "train.steps_per_dispatch": 3},
+    )
+    assert lrn._eval_multi == 3
+    lrn2 = _learner(
+        fixture_dir,
+        tmp_path,
+        "evG",
+        **{
+            "train.epochs": 1,
+            "train.steps_per_dispatch": 3,
+            "train.eval_batches_per_dispatch": 1,  # explicit off
+        },
+    )
+    assert lrn2._eval_multi == 0
+
+
 def test_multi_dispatch_resume_mid_epoch(fixture_dir, tmp_path):
     # a mid-epoch resume (batch_in_epoch from ckpt meta) must land on a
     # batch boundary and regroup the remaining batches

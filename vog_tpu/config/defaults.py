@@ -143,6 +143,14 @@ class TrainCfg:
     # dispatch granularity.  Ignored under misc.checkify (per-step error
     # sync) and multihost sharded input.
     steps_per_dispatch: int = 1
+    # eval-side analog of steps_per_dispatch: fuse E eval batches into one
+    # lax.scan dispatch + ONE bulk fetch of the stacked outputs (amortizes
+    # the per-batch dispatch AND the per-batch device->host round-trip).
+    # 0 = follow steps_per_dispatch; 1 = off; >1 explicit.  Metrics and
+    # predictions are identical to the per-batch path
+    # (tests/test_multi_dispatch.py); disabled under multihost sharded
+    # input (per-process row fetch needs per-batch shard assembly).
+    eval_batches_per_dispatch: int = 0
 
 
 @dataclass

@@ -2,14 +2,22 @@
 
 Reference parity: the first dcode stage runs an allennlp BERT-SRL model
 over every ActivityNet-Captions sentence (SURVEY §3.4).  allennlp is not
-in this image, so:
+in this image, so three paths share one output schema:
 
-  * ``tag_sentences_allennlp`` is the real path — it imports allennlp at
-    call time and raises a clear error when unavailable;
-  * ``tag_sentence_rule_based`` is a dependency-free fallback used for
-    fixtures and tests: a tiny verb lexicon + template heuristics that
-    produce the same output schema (verb index/lemma + role-labelled token
-    spans).
+  * ``BertSrlTagger`` / ``tag_sentences_bert`` — the EXECUTABLE real
+    path: the same architecture as allennlp's
+    structured-prediction-srl-bert (BERT encoder with the verb-indicator
+    fed through ``token_type_ids`` + a linear BIO tag head, constrained
+    BIO decode) built on ``transformers`` (baked into this image).  Loads
+    fine-tuned weights from a local directory when available; without a
+    checkpoint it still executes end-to-end (tests run it with a tiny
+    randomly-initialized BERT), so the pipeline itself is exercised even
+    though this image cannot download the SRL fine-tune.
+  * ``tag_sentences_allennlp`` — the reference's exact dependency; it
+    imports allennlp at call time and raises a clear error when
+    unavailable.
+  * ``tag_sentence_rule_based`` — dependency-free fallback used for
+    fixtures: a tiny verb lexicon + template heuristics.
 
 Output schema per sentence matches vog_tpu.data.fixtures annotations:
   {"tokens": [...], "verb_idx": int, "verb_lemma": str,
@@ -96,31 +104,186 @@ def tag_sentences_allennlp(sentences: Sequence[str], cuda_device: int = -1) -> L
     return out
 
 
+def frame_from_tags(words: Sequence[str], tags: Sequence[str]) -> Optional[Dict]:
+    """One verb frame of per-word BIO tags -> our schema dict (or None if
+    the frame has no verb or no arguments).  Shared by the allennlp and
+    transformers paths so both decode identically."""
+    spans: Dict[str, List[int]] = {}
+    for i, t in enumerate(tags):
+        if t == "O":
+            continue
+        role = t.split("-", 1)[1]
+        spans.setdefault(role, []).append(i)
+    if "V" not in spans:
+        return None
+    verb_idx = spans["V"][0]
+    args = [
+        {"role": r, "span": [min(ix), max(ix)], "lemma": words[max(ix)].lower()}
+        for r, ix in spans.items()
+        if r != "V"
+    ]
+    if not args:
+        return None
+    return {
+        "tokens": list(words),
+        "verb_idx": verb_idx,
+        "verb_lemma": words[verb_idx].lower(),
+        "args": args,
+    }
+
+
 def _allennlp_to_schema(pred: Dict) -> Optional[Dict]:
     """Convert allennlp SRL output (BIO tags per verb) to our schema,
     keeping the first verb frame with arguments."""
     words = pred["words"]
     for frame in pred.get("verbs", []):
-        tags = frame["tags"]
-        spans: Dict[str, List[int]] = {}
-        for i, t in enumerate(tags):
-            if t == "O":
-                continue
-            role = t.split("-", 1)[1]
-            spans.setdefault(role, []).append(i)
-        if "V" not in spans:
-            continue
-        verb_idx = spans["V"][0]
-        args = [
-            {"role": r, "span": [min(ix), max(ix)], "lemma": words[max(ix)].lower()}
-            for r, ix in spans.items()
-            if r != "V"
-        ]
-        if args:
-            return {
-                "tokens": words,
-                "verb_idx": verb_idx,
-                "verb_lemma": words[verb_idx].lower(),
-                "args": args,
-            }
+        out = frame_from_tags(words, frame["tags"])
+        if out is not None:
+            return out
     return None
+
+
+# ---------------------------------------------------------------------------
+# transformers-based BERT-SRL (allennlp srl-bert architecture, executable
+# in this image).  Reference parity target: dcode stage 1 (SURVEY §3.4).
+# ---------------------------------------------------------------------------
+
+# BIO tagset: allennlp's srl-bert uses the full PropBank inventory; we keep
+# the roles ASRL retains downstream (SURVEY §2 offline-construction row:
+# ARG0/1/2 + the kept ARGM modifiers) — a fine-tune onto this tagset is a
+# strict label-subset of the PropBank one.
+SRL_ROLES = ("V", "ARG0", "ARG1", "ARG2", "ARG4", "ARGM-LOC", "ARGM-TMP",
+             "ARGM-MNR", "ARGM-DIR")
+SRL_TAGSET: List[str] = ["O"] + [f"{p}-{r}" for r in SRL_ROLES for p in ("B", "I")]
+
+
+def repair_bio(tags: List[str]) -> List[str]:
+    """Constrained-decode repair: an I-X with no open B-X/I-X of the same
+    role becomes B-X (the cheap equivalent of allennlp's transition-
+    constrained viterbi; identical on well-formed sequences)."""
+    out: List[str] = []
+    prev_role = None
+    for t in tags:
+        if t.startswith("I-"):
+            role = t[2:]
+            if prev_role != role:
+                t = "B-" + role
+        out.append(t)
+        prev_role = t[2:] if t != "O" else None
+    return out
+
+
+class BertSrlTagger:
+    """BERT token-classification SRL, the allennlp srl-bert architecture
+    on ``transformers``: the verb indicator rides in ``token_type_ids``
+    (exactly how allennlp's SrlBert feeds it), a linear head scores BIO
+    tags per wordpiece, and the first wordpiece of each word carries the
+    word's tag.  CPU-only torch; no jax involvement (offline dcode stage).
+    """
+
+    def __init__(self, bert, tokenizer, head=None, tagset: Sequence[str] = tuple(SRL_TAGSET)):
+        import torch
+
+        self.bert = bert.eval()
+        self.tokenizer = tokenizer
+        self.tagset = list(tagset)
+        hidden = bert.config.hidden_size
+        self.head = head if head is not None else torch.nn.Linear(hidden, len(self.tagset))
+        self.head.eval()
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str) -> "BertSrlTagger":
+        """Load a locally-available fine-tuned SRL model: a transformers
+        BERT directory, plus optional ``srl_head.pt`` (state dict of the
+        linear tag head) and ``srl_tagset.txt`` (one tag per line)."""
+        import os
+
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+
+        bert = AutoModel.from_pretrained(model_dir)
+        tok = AutoTokenizer.from_pretrained(model_dir)
+        tagset = list(SRL_TAGSET)
+        tag_file = os.path.join(model_dir, "srl_tagset.txt")
+        if os.path.exists(tag_file):
+            with open(tag_file) as f:
+                tagset = [ln.strip() for ln in f if ln.strip()]
+        head = torch.nn.Linear(bert.config.hidden_size, len(tagset))
+        head_file = os.path.join(model_dir, "srl_head.pt")
+        if os.path.exists(head_file):
+            head.load_state_dict(torch.load(head_file, map_location="cpu"))
+        return cls(bert, tok, head, tagset)
+
+    def _word_tags(self, words: Sequence[str], verb_idx: int) -> List[str]:
+        """Per-word BIO tags for one (sentence, predicate) frame."""
+        import torch
+
+        enc = self.tokenizer(
+            list(words), is_split_into_words=True, return_tensors="pt",
+            truncation=True, max_length=self.bert.config.max_position_embeddings,
+        )
+        word_ids = enc.word_ids(0)
+        # verb indicator == token_type_ids (allennlp SrlBert convention)
+        indicator = torch.tensor(
+            [[1 if w == verb_idx else 0 for w in word_ids]], dtype=torch.long
+        )
+        with torch.no_grad():
+            hid = self.bert(
+                input_ids=enc["input_ids"],
+                attention_mask=enc["attention_mask"],
+                token_type_ids=indicator,
+            ).last_hidden_state
+            logits = self.head(hid)[0]  # (T_wp, num_tags)
+        pred = logits.argmax(-1).tolist()
+        # first wordpiece of each word carries the tag
+        tags = ["O"] * len(words)
+        seen = set()
+        for pos, w in enumerate(word_ids):
+            if w is None or w in seen:
+                continue
+            seen.add(w)
+            tags[w] = self.tagset[pred[pos]]
+        # the frame's predicate position is always V (allennlp decodes with
+        # this constraint; without it an untrained head emits garbage there)
+        tags[verb_idx] = "B-V"
+        return repair_bio(tags)
+
+    def tag_sentence(
+        self, words: Sequence[str], predicates: Optional[Sequence[int]] = None
+    ) -> Optional[Dict]:
+        """Tag one whitespace-tokenized sentence.  ``predicates`` overrides
+        predicate identification; by default candidates come from the verb
+        lexicon (allennlp uses POS tags from the dataset reader — a POS
+        tagger is not in this image, documented deviation).  Returns the
+        first frame with arguments, like ``_allennlp_to_schema``."""
+        toks = [w.lower() for w in words]
+        if predicates is None:
+            predicates = [i for i, t in enumerate(toks) if t in VERB_LEXICON]
+        for v in predicates:
+            tags = self._word_tags(words, v)
+            out = frame_from_tags(words, tags)
+            if out is not None:
+                out["verb_lemma"] = VERB_LEXICON.get(toks[v], toks[v])
+                return out
+        return None
+
+    def tag_sentences(self, sentences: Sequence[str]) -> List[Optional[Dict]]:
+        return [self.tag_sentence(s.split()) for s in sentences]
+
+
+def tag_sentences_bert(
+    sentences: Sequence[str], model_dir: Optional[str] = None,
+    tagger: Optional[BertSrlTagger] = None,
+) -> List[Optional[Dict]]:
+    """dcode stage 1 via transformers BERT-SRL.  Pass ``model_dir`` for a
+    locally-available fine-tune (see BertSrlTagger.from_pretrained), or a
+    prebuilt ``tagger``."""
+    if tagger is None:
+        if model_dir is None:
+            raise ValueError(
+                "tag_sentences_bert needs model_dir (local fine-tuned BERT) "
+                "or an explicit tagger; this image has no downloadable SRL "
+                "checkpoint — for fixtures use tag_sentence_rule_based."
+            )
+        tagger = BertSrlTagger.from_pretrained(model_dir)
+    return tagger.tag_sentences(sentences)

@@ -252,6 +252,24 @@ class Learner:
                     bs, self.mesh, cfg.misc.half_feats
                 )
 
+        # fused multi-batch EVAL dispatch: scan over E stacked eval
+        # batches, ONE bulk fetch of the stacked outputs — amortizes both
+        # the per-batch dispatch and the per-batch device->host round-trip
+        # (the two tunnel costs of _run_eval).  0 = follow
+        # steps_per_dispatch; disabled under multihost sharded input
+        # (per-row fetch assembles addressable shards per batch).
+        self._eval_multi = 0
+        em = cfg.train.eval_batches_per_dispatch
+        if em == 0:
+            em = cfg.train.steps_per_dispatch
+        if em > 1 and self._local_rows is None:
+            from vog_tpu.train.state import make_multi_eval_step
+
+            self._eval_multi = em
+            self._eval_step_multi = jax.jit(
+                make_multi_eval_step(cfg, dstore, self._store_mesh)
+            )
+
         if cfg.train.resume:
             self.load(cfg.train.resume_path or None)
 
@@ -540,26 +558,12 @@ class Learner:
                 f"eval[{split}] TRUNCATED to {max_b}/{len(dl)} batches "
                 f"(train.num_eval_batches) — metrics are partial"
             )
-        for i, batch in enumerate(dl):
-            if max_b and i >= max_b:
-                break
+        def consume(out: Dict, batch: Dict) -> None:
+            """Accumulate one HOST-side eval-step output + its host batch
+            metadata into sums/preds (shared by the per-batch and fused
+            multi-batch dispatch paths)."""
             ann_idx = np.asarray(batch["ann_idx"])
             bm = np.asarray(batch["batch_mask"])
-            # train_dl batches arrive already device-put (its producer
-            # transform); eval splits arrive as host arrays
-            sb = (
-                batch
-                if isinstance(batch["targets"], jax.Array)
-                else self._to_global(batch)
-            )
-            out = self._eval_step(self.state, sb, self._tables)
-            # one bulk device->host transfer per batch (each separate
-            # fetch costs a full round-trip through the TPU tunnel).
-            # Multihost: per-row outputs are sharded over processes —
-            # fetch only THIS process's rows (device_get on the global
-            # array would touch non-addressable shards and the local
-            # metadata below only covers the local rows anyway).
-            out = self._fetch_eval_out(out)
             for k in list(sums.keys()):
                 sums[k] += float(out[k])
             pos_vid = np.asarray(batch["pos_vid"])
@@ -621,6 +625,55 @@ class Learner:
                             "num_props": n_props,
                         }
                     )
+
+        group: list = []
+
+        def flush_group() -> None:
+            """Fused path: stack the pending eval batches, ONE scan
+            dispatch, ONE bulk fetch of the (E, ...) stacked outputs."""
+            if not group:
+                return
+            from vog_tpu.train.dist import stack_shard_batches
+
+            stacked = stack_shard_batches(
+                group, self.mesh, self.cfg.misc.half_feats
+            )
+            outs = jax.device_get(
+                self._eval_step_multi(self.state, stacked, self._tables)
+            )
+            for e, b in enumerate(group):
+                consume({k: v[e] for k, v in outs.items()}, b)
+            group.clear()
+
+        for i, batch in enumerate(dl):
+            if max_b and i >= max_b:
+                break
+            # fused multi-batch eval needs host batches to stack (valid/
+            # test loaders yield host arrays; device-resident batches fall
+            # back to the per-batch path)
+            if self._eval_multi > 1 and not isinstance(
+                batch["targets"], jax.Array
+            ):
+                group.append(batch)
+                if len(group) == self._eval_multi:
+                    flush_group()
+                continue
+            # train_dl batches arrive already device-put (its producer
+            # transform); eval splits arrive as host arrays
+            sb = (
+                batch
+                if isinstance(batch["targets"], jax.Array)
+                else self._to_global(batch)
+            )
+            out = self._eval_step(self.state, sb, self._tables)
+            # one bulk device->host transfer per batch (each separate
+            # fetch costs a full round-trip through the TPU tunnel).
+            # Multihost: per-row outputs are sharded over processes —
+            # fetch only THIS process's rows (device_get on the global
+            # array would touch non-addressable shards and the local
+            # metadata below only covers the local rows anyway).
+            consume(self._fetch_eval_out(out), batch)
+        flush_group()  # short tail group (separate trace, like train's)
         if self.cfg.misc.multihost and jax.process_count() > 1:
             # reference parity: DDP's rank-gather of prediction pickles
             # (SURVEY §3.2) — here over DCN.  The metric sums need NO

@@ -272,6 +272,27 @@ def make_multi_train_step(
     return multi_step
 
 
+def make_multi_eval_step(
+    cfg: Cfg, device_store: bool = False, store_mesh=None
+) -> Callable:
+    """E eval batches fused into one dispatch
+    (``train.eval_batches_per_dispatch``): the body is the exact
+    single-batch ``eval_step`` under ``lax.scan`` over a stacked
+    (E, B, ...) tree, so every output leaf gains a leading E axis and the
+    host fetches ONE stacked tree instead of E round-trips.  State is
+    constant across the scan (inference)."""
+    step = make_eval_step(cfg, device_store, store_mesh)
+
+    def multi_eval(state: TrainState, stacked: Dict, tables=None):
+        def body(carry, b):
+            return carry, step(state, b, tables)
+
+        _, outs = jax.lax.scan(body, 0, stacked)
+        return outs
+
+    return multi_eval
+
+
 def make_eval_step(
     cfg: Cfg, device_store: bool = False, store_mesh=None
 ) -> Callable:
