@@ -68,30 +68,54 @@ def main() -> None:
     mesh = make_mesh(cfg)
 
     state = init_state(cfg, _glove(cfg), jax.random.PRNGKey(0), BATCH)
-    train_step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
     rng = jax.random.PRNGKey(1)
 
-    batch = shard_batch(_random_batch(cfg, BATCH, seed=1), mesh)
+    # BENCH_SCAN=K fuses K steps into one lax.scan dispatch (the
+    # train.steps_per_dispatch production path) — same computation per
+    # step, K fewer host dispatches through the tunnel
+    scan_k = int(os.environ.get("BENCH_SCAN", "0"))
+    if scan_k > 1:
+        from vog_tpu.train.dist import stack_shard_batches
+        from vog_tpu.train.state import make_multi_train_step
+
+        multi = jax.jit(make_multi_train_step(cfg), donate_argnums=(0,))
+        stacked = stack_shard_batches(
+            [_random_batch(cfg, BATCH, seed=1)] * scan_k, mesh
+        )
+
+        def train_step(state, batch, rng):
+            return multi(state, batch, rng)
+
+        batch = stacked
+        steps_per_call = scan_k
+    else:
+        train_step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+        batch = shard_batch(_random_batch(cfg, BATCH, seed=1), mesh)
+        steps_per_call = 1
     # Sync discipline for the remote-TPU (axon) tunnel: block_until_ready
     # is NOT a real barrier there — only a value fetch (float()) guarantees
     # the chain of steps has executed.  Warm up until per-burst time
     # stabilizes (first executions carry a one-time executable/weights
     # upload), then time N chained steps closed by a single scalar fetch.
+    def fetch(aux) -> float:  # scan mode returns (K,)-stacked aux
+        return float(np.asarray(jax.device_get(aux["loss"])).ravel()[-1])
+
     for _ in range(WARMUP):
         state, aux = train_step(state, batch, rng)
-        float(aux["loss"])
+        fetch(aux)
 
     # min over bursts: the first burst after compile can be 5-10x slower
     # (deferred upload/tuning in the tunnel); min is the honest steady state
     dt = float("inf")
+    calls = max(1, STEPS // steps_per_call)
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(STEPS):
+        for _ in range(calls):
             state, aux = train_step(state, batch, rng)
-        float(aux["loss"])  # single fetch closes the dependency chain
+        fetch(aux)  # single fetch closes the dependency chain
         dt = min(dt, time.perf_counter() - t0)
 
-    pairs = STEPS * BATCH * cfg.ds.num_cmp
+    pairs = calls * steps_per_call * BATCH * cfg.ds.num_cmp
     pps = pairs / dt
     print(
         json.dumps(
