@@ -151,6 +151,12 @@ class TrainCfg:
     # (tests/test_multi_dispatch.py); disabled under multihost sharded
     # input (per-process row fetch needs per-batch shard assembly).
     eval_batches_per_dispatch: int = 0
+    # graceful preemption (SURVEY §5 failure-detection row): on SIGTERM
+    # (the TPU-VM / batch-scheduler preemption signal) finish the current
+    # dispatch, save a blocking "last" checkpoint (batch-granular meta),
+    # and return from fit() — resume picks up bit-identically
+    # (tests/test_preempt.py).  Ctrl-C (SIGINT) still propagates.
+    save_on_preempt: bool = True
 
 
 @dataclass
@@ -178,6 +184,11 @@ class MiscCfg:
     # threefry keeps cross-platform reproducible streams
     prng_impl: str = "rbg"
     profile_dir: str = ""  # non-empty: jax.profiler trace of train steps
+    # non-empty: mirror train loss + eval metrics to TensorBoard event
+    # files under this dir (uid-suffixed), via tf.summary (SURVEY §5
+    # metrics row "optional TensorBoard").  The txt/jsonl artifacts stay
+    # authoritative; this is additive and rank-0-only.
+    tensorboard_dir: str = ""
     profile_steps: int = 5  # steps to capture per epoch when profiling
     check_nans: bool = True  # raise on non-finite loss at log points
     checkify: bool = False  # wrap train step with jax checkify NaN/div guards

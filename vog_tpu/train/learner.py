@@ -425,6 +425,67 @@ class Learner:
             f"(epoch {self.epoch}, batch {self.batch_in_epoch})"
         )
 
+    # -- preemption (SURVEY §5 failure-detection row) -------------------------
+    def _install_preempt(self):
+        """Trap SIGTERM (TPU-VM / scheduler preemption) to set a flag the
+        fit loop checks after every dispatch — the run then saves a
+        blocking batch-granular checkpoint and returns instead of dying
+        mid-step.  Returns the previous handlers for restoration (None
+        when disabled or off the main thread).  SIGINT is left alone:
+        Ctrl-C propagates (deliberate, see load())."""
+        import signal
+        import threading
+
+        if (
+            not self.cfg.train.save_on_preempt
+            or threading.current_thread() is not threading.main_thread()
+        ):
+            return None
+        self._preempted = False
+
+        def handler(signum, frame):
+            self._preempted = True
+
+        return {signal.SIGTERM: signal.signal(signal.SIGTERM, handler)}
+
+    def _restore_preempt(self, prev) -> None:
+        if prev:
+            import signal
+
+            for sig, h in prev.items():
+                signal.signal(sig, h)
+
+    # -- tensorboard (SURVEY §5 metrics row) ----------------------------------
+    @property
+    def _tb(self):
+        """Lazy tf.summary writer (misc.tensorboard_dir); None when off,
+        on non-zero ranks, or when tensorflow is unavailable."""
+        if not self.cfg.misc.tensorboard_dir or not self._is_main:
+            return None
+        if not hasattr(self, "_tb_writer"):
+            try:
+                import tensorflow as tf
+
+                self._tb_writer = tf.summary.create_file_writer(
+                    str(Path(self.cfg.misc.tensorboard_dir) / self.uid)
+                )
+            except ImportError:
+                self.log("misc.tensorboard_dir set but tensorflow missing — off")
+                self._tb_writer = None
+        return self._tb_writer
+
+    def _tb_scalars(self, scalars: Dict, step: int) -> None:
+        tb = self._tb
+        if tb is None:
+            return
+        import tensorflow as tf
+
+        with tb.as_default():
+            for k, v in scalars.items():
+                if isinstance(v, (int, float)):
+                    tf.summary.scalar(k, v, step=step)
+        tb.flush()
+
     # -- train ------------------------------------------------------------------
     def fit(self, epochs: Optional[int] = None, lr: Optional[float] = None) -> Dict:
         cfg = self.cfg
@@ -442,6 +503,15 @@ class Learner:
         # one sync here, then count locally (apply_gradients increments
         # step unconditionally, so the two never diverge)
         host_step = int(self.state.step) if cfg.train.ckpt_every_steps else 0
+        prev_handlers = self._install_preempt()
+        try:
+            return self._fit_loop(epochs, cfg, smooth, metrics, skip, host_step)
+        finally:
+            self._restore_preempt(prev_handlers)
+
+    def _fit_loop(
+        self, epochs: int, cfg, smooth, metrics: Dict, skip: int, host_step: int
+    ) -> Dict:
         for ep_i in range(epochs):
             t0 = time.time()
             n_seen = 0
@@ -478,6 +548,17 @@ class Learner:
                 host_step += kb
                 it_pos += kb
                 unit_idx += 1
+                if getattr(self, "_preempted", False):
+                    # graceful preemption: checkpoint at batch granularity
+                    # and leave — resume replays from exactly here
+                    # (tests/test_preempt.py asserts bit-identity)
+                    self.log(
+                        f"SIGTERM: saving at ep {self.epoch} batch "
+                        f"{self.batch_in_epoch} and exiting fit()"
+                    )
+                    self.save("last", blocking=True)
+                    self.wait_for_checkpoints()
+                    return metrics
                 if cfg.train.ckpt_every_steps and (
                     host_step // cfg.train.ckpt_every_steps
                     > (host_step - kb) // cfg.train.ckpt_every_steps
@@ -512,6 +593,11 @@ class Learner:
                         f"ep {self.epoch} it {it_pos - 1} loss {loss:.4f} "
                         f"smooth {smooth.smooth:.4f}"
                     )
+                    self._tb_scalars(
+                        {"train/loss": loss, "train/loss_smooth": smooth.smooth},
+                        host_step if cfg.train.ckpt_every_steps else it_pos
+                        + self.epoch * len(self.data.train_dl),
+                    )
             if profiling:
                 jax.profiler.stop_trace()
             dt = time.time() - t0
@@ -531,6 +617,9 @@ class Learner:
                 )
                 self.log(f"ep {self.epoch} metrics {metrics}")
                 self.log_json(metrics)
+                self._tb_scalars(
+                    {f"valid/{k}": v for k, v in metrics.items()}, self.epoch
+                )
             else:
                 self.log(
                     f"ep {self.epoch} done in {dt:.1f}s "
