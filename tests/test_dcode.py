@@ -79,6 +79,52 @@ def test_align_args():
     assert build_asrl([srl], {"v0": []}) == []
 
 
+def test_pipeline_end_to_end(tmp_path):
+    """Raw captions + AE boxes -> per-split anns jsonl + CS dicts via the
+    one-command dcode pipeline (rule tagger)."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    caps = [
+        {"vid_seg": "v0", "sentence": "the man throws the ball", "split": "train"},
+        {"vid_seg": "v1", "sentence": "a woman throws the ball", "split": "train"},
+        {"vid_seg": "v2", "sentence": "the dog catches the ball", "split": "train"},
+        {"vid_seg": "v3", "sentence": "a man rides the horse", "split": "valid"},
+        {"vid_seg": "v4", "sentence": "nothing to see", "split": "train"},  # no verb
+    ]
+    (raw / "captions.jsonl").write_text(
+        "\n".join(json.dumps(c) for c in caps) + "\n"
+    )
+    ae = {
+        v: [
+            {"tokens": ["the", w], "frame": 1, "box": [1, 2, 30, 40]}
+            for w in words
+        ]
+        for v, words in {
+            "v0": ["man", "ball"], "v1": ["woman", "ball"],
+            "v2": ["dog", "ball"], "v3": ["man", "horse"],
+        }.items()
+    }
+    (raw / "ae_annots.json").write_text(json.dumps(ae))
+
+    from vog_tpu.dcode.pipeline import run_pipeline
+
+    out = tmp_path / "ds"
+    counts = run_pipeline(raw, out, tagger="rule")
+    assert counts == {"train": 3, "valid": 1}
+    anns = load_annotations(out / "anns_train.jsonl")
+    assert [a["ann_idx"] for a in anns] == [0, 1, 2]
+    roles0 = {a["role"]: a for a in anns[0]["args"]}
+    assert roles0["ARG0"]["lemma"] == "man" and roles0["ARG0"]["boxes"]
+    cs = json.loads((out / "cs_dict_train.json").read_text())
+    # v0 and v1 share the verb lemma "throw" -> contrastive partners
+    assert len(cs) == 3
+    # CLI arg parsing
+    from vog_tpu.dcode.pipeline import main as pl_main
+
+    pl_main([str(raw), str(tmp_path / "ds2"), "--tagger=rule"])
+    assert (tmp_path / "ds2" / "anns_valid.jsonl").exists()
+
+
 def test_cs_builder_cli(fixture_dir, tmp_path, capsys):
     import shutil
 

@@ -37,8 +37,12 @@ for v in (
 ):
     VERB_LEXICON[v] = v
     VERB_LEXICON[v + "s"] = v
+    VERB_LEXICON[v + "es"] = v  # sibilant stems: catches, pushes, watches
     VERB_LEXICON[v + "ing"] = v
     VERB_LEXICON[v + "ed"] = v
+    if v.endswith("e"):  # riding, danced
+        VERB_LEXICON[v[:-1] + "ing"] = v
+        VERB_LEXICON[v + "d"] = v
 
 STOP = {"the", "a", "an", "is", "are", "was", "were", "being", "been"}
 LOC_PREPS = {"near", "on", "in", "at", "under", "behind", "beside", "by"}
