@@ -8,7 +8,7 @@ host overhead over the compute-only floor:
 
   host_stall_pct = (t_e2e - t_compute) / t_e2e
 
-Usage:  python tools/bench_input.py [gt5|p100] [batch] [data_dir] [host|device] [highest|default]
+Usage:  python tools/bench_input.py [gt5|p100] [batch] [data_dir] [host|device|index] [highest|default]
 
 The 5th arg selects matmul precision; ``default`` additionally stores the
 device tables bf16 (misc.half_feats) — the production configuration.
@@ -64,14 +64,27 @@ def main():
     store_kind = type(data.train_dl.ds.store).__name__
     state = init_state(cfg, _glove(cfg), jax.random.PRNGKey(0), B)
     tables = None
-    if mode == "device":
+    dstore = mode in ("device", "index")
+    if dstore:
         from vog_tpu.data.device_store import DeviceFeatureTables
 
         dft = DeviceFeatureTables(cfg, data.train_dl.ds.store, mesh, half=cfg.misc.half_feats)
         data.train_dl.ds.device_rows = dft.rows
         tables = dft.tables
         store_kind += "+device"
-    raw = make_train_step(cfg, device_store=(mode == "device"))
+    if mode == "index":
+        # index-only input path: annotation statics also device-resident,
+        # batches shrink to 4 int32 fields/sample (data/ann_store.py)
+        from vog_tpu.data.ann_store import DeviceAnnTables
+
+        dat = DeviceAnnTables(
+            cfg, {"train": data.train_dl.ds}, dft.rows, mesh
+        )
+        data.train_dl.ds.index_only = True
+        data.train_dl.ds.ann_row_offset = 0
+        tables = {**tables, **dat.tables}
+        store_kind += "+ann"
+    raw = make_train_step(cfg, device_store=dstore)
     jstep = jax.jit(raw, donate_argnums=(0,))
     step = lambda s, b, r: jstep(s, b, r, tables)
     rng = jax.random.PRNGKey(1)
@@ -120,7 +133,7 @@ def main():
             bs, mesh, cfg.misc.half_feats
         )
         jmulti = jax.jit(
-            make_multi_train_step(cfg, device_store=(mode == "device")),
+            make_multi_train_step(cfg, device_store=dstore),
             donate_argnums=(0,),
         )
         step = lambda s, b, r: jmulti(s, b, r, tables)

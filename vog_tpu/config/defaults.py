@@ -46,6 +46,11 @@ class DsCfg:
     # mesh 'data' axis when only the per-shard slice fits (P100-at-100GB).
     # shard = force row-sharding (collective gather) regardless of size.
     device_store: str = "auto"  # auto | on | shard | off
+    # index-only input path (data/ann_store.py): annotation statics
+    # (tokens/spans/targets/GT boxes + per-video proposal boxes) also
+    # device-resident; batches shrink to four int32 index fields per
+    # sample.  Requires an active device_store; auto = follow it.
+    ann_store: str = "auto"  # auto | on | off
     # derived (post_proc_config equivalent):
     num_prop_per_frm: int = 5
     num_cmp: int = 1  # 1 for svsq else ncmp

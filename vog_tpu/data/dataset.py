@@ -131,6 +131,11 @@ class AnetSRLDataset:
         # instead of the big props/seg_feats arrays and the gather happens
         # on device inside the jitted step
         self.device_rows: Optional[Dict[str, int]] = None
+        # index-only input path (data/ann_store.py): when also set,
+        # __getitem__ emits ONLY the four int32 index fields — the whole
+        # annotation block is device-resident and expands inside jit
+        self.index_only: bool = False
+        self.ann_row_offset: int = 0
         data_dir = Path(cfg.ds.data_dir)
         self.anns = load_annotations(data_dir / f"anns_{split}.jsonl")
         with open(data_dir / f"cs_dict_{split}.json") as f:
@@ -270,6 +275,18 @@ class AnetSRLDataset:
         group_anns.insert(pos_slot, ann)
 
         on_device = self.device_rows is not None
+        if self.index_only and on_device:
+            # index-only sample: everything else is device-resident
+            # (data/ann_store.py §expand_index_batch)
+            return {
+                "vid_rows": np.asarray(
+                    [self.device_rows[g["vid_seg"]] for g in group_anns],
+                    np.int32,
+                ),
+                "ann_row": np.int32(self.ann_row_offset + idx),
+                "pos_vid": np.int32(pos_slot),
+                "ann_idx": np.int32(idx),
+            }
         pbox = np.zeros((V, F, P, 5), np.float32)
         pmask = np.zeros((V, F, P), np.uint8)
         for v, g in enumerate(group_anns):

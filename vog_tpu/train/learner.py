@@ -147,6 +147,41 @@ class Learner:
                     f"({sum(v.nbytes for v in self._tables.values()) / 1e6:.0f} MB)"
                 )
 
+        # index-only input path (data/ann_store.py): annotation statics +
+        # per-video proposal boxes also device-resident (replicated —
+        # they are MBs, not GBs); batches shrink to 4 int32 fields/sample
+        # and the whole batch reconstructs inside the jitted step
+        self._ann_store = False
+        if self._device_store and cfg.ds.ann_store != "off":
+            from vog_tpu.data.ann_store import DeviceAnnTables
+
+            dsets = {
+                s: dl.ds
+                for s, dl in (
+                    ("train", data.train_dl),
+                    ("valid", data.valid_dl),
+                    ("test", data.test_dl),
+                )
+                if dl is not None
+            }
+            dat = DeviceAnnTables(
+                cfg, dsets, data.train_dl.ds.device_rows, self.mesh
+            )
+            self._tables = {**self._tables, **dat.tables}
+            for s, d in dsets.items():
+                d.index_only = True
+                d.ann_row_offset = dat.split_offset[s]
+            self._ann_store = True
+            self.log(
+                f"device annotation store: {dat.n_anns} anns resident "
+                f"({sum(dat.tables[k].nbytes for k in dat.tables) / 1e6:.0f}"
+                " MB) — index-only input path"
+            )
+        elif cfg.ds.ann_store == "on" and not self._device_store:
+            self.log(
+                "ds.ann_store=on ignored: requires an active ds.device_store"
+            )
+
         state = init_state(cfg, glove, rng, self.global_bs)
         shardings = param_shardings(self.mesh, state.params)
         params = jax.device_put(state.params, shardings)
@@ -656,7 +691,7 @@ class Learner:
             for k in list(sums.keys()):
                 sums[k] += float(out[k])
             pos_vid = np.asarray(batch["pos_vid"])
-            n_props = int(batch["prop_mask"].shape[-1])
+            n_props = int(self.cfg.ds.num_prop_per_frm)
             if "pair_valid" in out:
                 # compact payload: the considered (arg, frame) pairs were
                 # selected ON DEVICE into a static (B, K) budget, so the
@@ -741,7 +776,7 @@ class Learner:
             # test loaders yield host arrays; device-resident batches fall
             # back to the per-batch path)
             if self._eval_multi > 1 and not isinstance(
-                batch["targets"], jax.Array
+                batch["pos_vid"], jax.Array
             ):
                 group.append(batch)
                 if len(group) == self._eval_multi:
@@ -751,7 +786,7 @@ class Learner:
             # transform); eval splits arrive as host arrays
             sb = (
                 batch
-                if isinstance(batch["targets"], jax.Array)
+                if isinstance(batch["pos_vid"], jax.Array)
                 else self._to_global(batch)
             )
             out = self._eval_step(self.state, sb, self._tables)

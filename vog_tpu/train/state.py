@@ -193,21 +193,36 @@ def cast_compact(batch: Dict) -> Dict:
     return out
 
 
-def _make_gather(device_store: bool, store_mesh):
-    """The in-step feature resolve for device-resident tables: local take
-    when the tables are replicated, collective psum_scatter gather when
-    they are row-sharded over ``store_mesh``'s 'data' axis."""
+def _make_gather(cfg: Cfg, device_store: bool, store_mesh):
+    """The in-step resolve for device-resident tables.
+
+    Features: local take when the tables are replicated, collective
+    psum_scatter gather when they are row-sharded over ``store_mesh``'s
+    'data' axis.  When the batch is index-only (carries ``ann_row`` —
+    static per trace), the annotation block expands first
+    (data/ann_store.py) so the feature gather sees the canonical schema.
+    """
     if not device_store:
         return lambda batch, tables: batch
     if store_mesh is not None:
         from vog_tpu.data.device_store import sharded_gather_from_tables
 
-        return lambda batch, tables: sharded_gather_from_tables(
+        feats = lambda batch, tables: sharded_gather_from_tables(
             batch, tables, store_mesh
         )
-    from vog_tpu.data.device_store import gather_from_tables
+    else:
+        from vog_tpu.data.device_store import gather_from_tables
 
-    return gather_from_tables
+        feats = gather_from_tables
+
+    def gather(batch: Dict, tables):
+        if tables is not None and "ann_row" in batch:
+            from vog_tpu.data.ann_store import expand_index_batch
+
+            batch = expand_index_batch(batch, tables, cfg)
+        return feats(batch, tables)
+
+    return gather
 
 
 def make_train_step(
@@ -219,7 +234,7 @@ def make_train_step(
     store_mesh: set when the tables are row-sharded over the mesh's 'data'
     axis (P100-scale) — the gather becomes a collective."""
     conc = cfg.ds.conc_type
-    gather = _make_gather(device_store, store_mesh)
+    gather = _make_gather(cfg, device_store, store_mesh)
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array, tables=None):
         batch = cast_compact(gather(batch, tables))
@@ -297,7 +312,7 @@ def make_eval_step(
     cfg: Cfg, device_store: bool = False, store_mesh=None
 ) -> Callable:
     conc = cfg.ds.conc_type
-    gather = _make_gather(device_store, store_mesh)
+    gather = _make_gather(cfg, device_store, store_mesh)
     max_pairs = cfg.train.eval_max_pairs
     if max_pairs < 0:  # auto: 1-2 annotated frames per arg in ASRL
         max_pairs = 2 * cfg.ds.max_srl_args
