@@ -183,6 +183,7 @@ def main(argv=None) -> Dict:
     concurrency = int(overrides.pop("concurrency", 8))
     max_batch = int(overrides.pop("serve.batch", 0))
     wait_ms = float(overrides.pop("serve.wait_ms", 2.0))
+    artifact = overrides.pop("artifact", None)  # serve a .vogx AOT export
     yml = overrides.pop("cfg", None)
     cfg = get_default_cfg(yml)
     update_from_dict(cfg, overrides)
@@ -195,7 +196,19 @@ def main(argv=None) -> Dict:
 
     from vog_tpu.serving import ServingLoop
 
-    pred, data = _build_predictor(cfg, uid, tag, "random_init" in flags)
+    if artifact:
+        # AOT deployment mode: serve the exported .vogx (no model code,
+        # no checkpoint; batch size is fixed by the artifact).  The data
+        # splits still load for --selftest request sourcing.
+        from vog_tpu.data import get_data
+        from vog_tpu.export import ExportedPredictor
+
+        pred = ExportedPredictor(artifact)
+        data = get_data(cfg, cfg.train.bs)
+        max_batch = pred.batch_size
+        print(f"serving exported artifact {artifact}", flush=True)
+    else:
+        pred, data = _build_predictor(cfg, uid, tag, "random_init" in flags)
     loop = ServingLoop(
         pred, max_batch=max_batch or cfg.train.bs, max_wait_ms=wait_ms
     )

@@ -76,6 +76,7 @@ class Predictor:
                 "pred_score": best,
             }
 
+        self._raw_predict = _predict  # unjitted — reused by vog_tpu/export.py
         self._predict = jax.jit(_predict)
 
     @classmethod
