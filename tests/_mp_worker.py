@@ -26,6 +26,13 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # authoritative over axon site hook
+    # persistent compile cache (same mechanism as the production CLI,
+    # misc.compile_cache): this worker compiles ~6 large graphs per run on
+    # a 1-core host — repeat runs load them instead
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tmp", "jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.distributed.initialize(
         f"localhost:{port}", num_processes=nproc, process_id=pid
     )
@@ -158,6 +165,51 @@ def main() -> None:
         assert len(got) == len(set(got)), f"duplicate ann_idx in preds: {got}"
         assert len(got) == 8, got  # n_valid fixture samples, each once
         print(f"MP_EVAL_OK n_preds={len(got)}", flush=True)
+
+    # --- fused dispatch x sharded input ------------------------------------
+    # steps_per_dispatch / eval_batches_per_dispatch must COMPOSE with the
+    # per-process sharded input path: each process stacks only its local
+    # rows (dist.stack_shard_batches_local) and the fused eval fetch takes
+    # its row shards at row_axis=1.  Assert bit-identical training params
+    # and identical eval metrics/predictions vs the single-dispatch path.
+    def fit_params(uid, k):
+        import copy
+
+        c = copy.deepcopy(cfg2)
+        c.train.steps_per_dispatch = k
+        c.train.eval_batches_per_dispatch = k
+        c.train.epochs = 1
+        d = get_data(c, gbs)
+        ln = Learner(uid, d, c, mesh=mesh)
+        if k > 1:
+            assert ln._multi == k and ln._eval_multi == k, (
+                ln._multi,
+                ln._eval_multi,
+            )
+        m = ln.fit()
+        return jax.device_get(ln.state.params), m
+
+    p1, m1 = fit_params("mpk1", 1)
+    p2, m2 = fit_params("mpk2", 2)
+    jax.tree.map(np.testing.assert_array_equal, p1, p2)
+    assert m1["acc"] == m2["acc"] and m1["num_pairs"] == m2["num_pairs"], (
+        m1,
+        m2,
+    )
+    if pid == 0:
+        import pickle as _pkl
+
+        eq = []
+        for u in ("mpk1", "mpk2"):
+            with open(lrn.dirs["predictions"] / f"{u}_valid_0.pkl", "rb") as f:
+                eq.append(
+                    sorted(
+                        (p["ann_idx"], tuple(p["pred_prop"]))
+                        for p in _pkl.load(f)
+                    )
+                )
+        assert eq[0] == eq[1], "fused-dispatch predictions differ"
+        print("MP_FUSED_OK", flush=True)
 
     print(f"MP_OK loss={loss:.6f}", flush=True)
 

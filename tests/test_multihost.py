@@ -64,7 +64,9 @@ def test_two_process_cluster_train_step_and_gather(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=420)
+        # compile-bound: ~6 fresh graph compiles per process (train/eval
+        # at K=1 plus the fused K=2 scan variants) on a 1-core CPU host
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
@@ -83,3 +85,7 @@ def test_two_process_cluster_train_step_and_gather(tmp_path):
     assert all(shard), outs
     for m in shard:
         assert int(m.group(1)) * 2 == int(m.group(2)), m.groups()
+    # fused dispatch (steps_per_dispatch=2) composes with the sharded
+    # input path: bit-identical params + identical eval preds vs K=1
+    # (asserted inside the worker; rank 0 prints the marker)
+    assert "MP_FUSED_OK" in outs[0], outs[0][-3000:]

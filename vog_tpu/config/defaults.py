@@ -146,15 +146,16 @@ class TrainCfg:
     # Semantically identical to K single steps (tests/test_multi_dispatch
     # .py asserts bit-identical params); ckpt/log cadence rounds to
     # dispatch granularity.  Ignored under misc.checkify (per-step error
-    # sync) and multihost sharded input.
+    # sync).  Composes with multihost sharded input (each process stacks
+    # its local rows; dist.stack_shard_batches_local).
     steps_per_dispatch: int = 1
     # eval-side analog of steps_per_dispatch: fuse E eval batches into one
     # lax.scan dispatch + ONE bulk fetch of the stacked outputs (amortizes
     # the per-batch dispatch AND the per-batch device->host round-trip).
     # 0 = follow steps_per_dispatch; 1 = off; >1 explicit.  Metrics and
     # predictions are identical to the per-batch path
-    # (tests/test_multi_dispatch.py); disabled under multihost sharded
-    # input (per-process row fetch needs per-batch shard assembly).
+    # (tests/test_multi_dispatch.py); composes with multihost sharded
+    # input (stacked local rows + row-sharded fetch, row_axis=1).
     eval_batches_per_dispatch: int = 0
     # graceful preemption (SURVEY §5 failure-detection row): on SIGTERM
     # (the TPU-VM / batch-scheduler preemption signal) finish the current

@@ -140,6 +140,29 @@ def stack_shard_batches(
     return jax.device_put(host, sh)
 
 
+def stack_shard_batches_local(
+    batches, mesh: Mesh, global_bs: int, half_feats: bool = False
+) -> Dict:
+    """Multihost analog of ``stack_shard_batches``: K per-process LOCAL
+    batches (rows [lo, hi) of each global batch, loader.local_rows) ->
+    ONE global (K, B, ...) device tree for the fused multi-step dispatch.
+    Axis 0 (scan) is unsharded, axis 1 (batch) shards over 'data'; jax
+    assembles the global array from each process's local stack — fused
+    dispatch composes with the sharded input path (no duplicated host
+    construction, one H2D per K steps)."""
+    sh = NamedSharding(mesh, P(None, "data"))
+    out = {}
+    K = len(batches)
+    for k in batches[0]:
+        v = np.stack([b[k] for b in batches])
+        if half_feats and k in HALF_KEYS:
+            v = v.astype(jnp.bfloat16)
+        out[k] = jax.make_array_from_process_local_data(
+            sh, v, (K, global_bs) + v.shape[2:]
+        )
+    return out
+
+
 def local_batch_rows(mesh: Mesh, global_bs: int):
     """-> (start, stop) rows of the global batch owned by THIS process's
     addressable devices under ``batch_sharding(mesh)``, or None if the

@@ -245,12 +245,22 @@ class Learner:
                     f"{self._local_rows[1]}) of {self.global_bs}"
                 )
         if self._local_rows is not None:
+            from vog_tpu.train.dist import stack_shard_batches_local
+
             self._to_global = lambda b: shard_batch_local(
                 b, self.mesh, self.global_bs, cfg.misc.half_feats
             )
+            self._stack_to_global = lambda bs: stack_shard_batches_local(
+                bs, self.mesh, self.global_bs, cfg.misc.half_feats
+            )
         else:
+            from vog_tpu.train.dist import stack_shard_batches
+
             self._to_global = lambda b: shard_batch(
                 b, self.mesh, cfg.misc.half_feats
+            )
+            self._stack_to_global = lambda bs: stack_shard_batches(
+                bs, self.mesh, cfg.misc.half_feats
             )
         # producer-side H2D: the prefetch worker thread device_puts train
         # batches (uint8-compacted) so the transfer overlaps the previous
@@ -267,14 +277,13 @@ class Learner:
         # dispatches (tests/test_multi_dispatch.py).
         self._multi = 0
         if cfg.train.steps_per_dispatch > 1:
-            if cfg.misc.checkify or self._local_rows is not None:
+            if cfg.misc.checkify:
                 self.log(
                     "train.steps_per_dispatch disabled: incompatible with "
-                    "misc.checkify (per-step error sync) / multihost "
-                    "sharded input — using single-step dispatch"
+                    "misc.checkify (per-step error sync) — using "
+                    "single-step dispatch"
                 )
             else:
-                from vog_tpu.train.dist import stack_shard_batches
                 from vog_tpu.train.state import make_multi_train_step
 
                 self._multi = cfg.train.steps_per_dispatch
@@ -283,21 +292,20 @@ class Learner:
                     donate_argnums=(0,),
                 )
                 data.train_dl.group = self._multi
-                data.train_dl.transform = lambda bs: stack_shard_batches(
-                    bs, self.mesh, cfg.misc.half_feats
-                )
+                data.train_dl.transform = self._stack_to_global
 
         # fused multi-batch EVAL dispatch: scan over E stacked eval
         # batches, ONE bulk fetch of the stacked outputs — amortizes both
         # the per-batch dispatch and the per-batch device->host round-trip
         # (the two tunnel costs of _run_eval).  0 = follow
-        # steps_per_dispatch; disabled under multihost sharded input
-        # (per-row fetch assembles addressable shards per batch).
+        # steps_per_dispatch.  Composes with multihost sharded input:
+        # the stack assembles from per-process local rows and the fetch
+        # takes only this process's row shards (row_axis=1).
         self._eval_multi = 0
         em = cfg.train.eval_batches_per_dispatch
         if em == 0:
             em = cfg.train.steps_per_dispatch
-        if em > 1 and self._local_rows is None:
+        if em > 1:
             from vog_tpu.train.state import make_multi_eval_step
 
             self._eval_multi = em
@@ -754,17 +762,15 @@ class Learner:
 
         def flush_group() -> None:
             """Fused path: stack the pending eval batches, ONE scan
-            dispatch, ONE bulk fetch of the (E, ...) stacked outputs."""
+            dispatch, ONE bulk fetch of the (E, ...) stacked outputs.
+            Under multihost sharded input the stack assembles from the
+            per-process local rows and the fetch takes only this
+            process's row shards (row_axis=1: axis 0 is the scan)."""
             if not group:
                 return
-            from vog_tpu.train.dist import stack_shard_batches
-
-            stacked = stack_shard_batches(
-                group, self.mesh, self.cfg.misc.half_feats
-            )
-            outs = jax.device_get(
-                self._eval_step_multi(self.state, stacked, self._tables)
-            )
+            stacked = self._stack_to_global(group)
+            out = self._eval_step_multi(self.state, stacked, self._tables)
+            outs = self._fetch_eval_out(out, row_axis=1)
             for e, b in enumerate(group):
                 consume({k: v[e] for k, v in outs.items()}, b)
             group.clear()
@@ -828,37 +834,44 @@ class Learner:
         metrics["val_loss"] = sums["loss_sum"] / max(sums["n_batch"], 1.0)
         return metrics
 
-    def _fetch_eval_out(self, out) -> Dict:
+    def _fetch_eval_out(self, out, row_axis: int = 0) -> Dict:
         """Device->host fetch of an eval-step output dict.
 
         Single-process (or full-batch-duplication multihost): one bulk
         ``device_get``.  Sharded-input multihost: scalars (metric sums,
-        psum'd over the global batch inside jit) fetch as-is, while
+        psum'd over the global batch inside jit — (E,) replicated
+        vectors under the fused scan dispatch) fetch as-is, while
         per-row arrays fetch ONLY the process-local rows by assembling
         this process's addressable shards in row order — global rows
         [lo, hi) — which aligns them with the loader's local metadata
-        (ann_idx/batch_mask/pos_vid).  Regression: tests/_mp_worker.py
-        asserts the gathered predictions cover every global ann_idx
-        exactly once across 2 OS processes.
+        (ann_idx/batch_mask/pos_vid).  ``row_axis``: 0 for per-batch
+        outputs, 1 for fused multi-batch outputs (axis 0 is the scan).
+        Regression: tests/_mp_worker.py asserts the gathered predictions
+        cover every global ann_idx exactly once across 2 OS processes,
+        for both dispatch modes.
         """
         if self._local_rows is None or jax.process_count() == 1:
             return jax.device_get(out)
         host = {}
         for k, v in out.items():
-            if getattr(v, "ndim", 0) == 0:
+            if getattr(v, "ndim", 0) <= row_axis:
                 host[k] = np.asarray(jax.device_get(v))
                 continue
             blocks = {}
             for s in v.addressable_shards:
-                sl = s.index[0] if s.index else slice(None)
+                sl = s.index[row_axis] if len(s.index) > row_axis else slice(None)
                 start = sl.start or 0
                 if start not in blocks:  # 'model'-axis replicas: keep one
                     blocks[start] = np.asarray(s.data)
-            arr = np.concatenate([blocks[s0] for s0 in sorted(blocks)], axis=0)
+            arr = np.concatenate(
+                [blocks[s0] for s0 in sorted(blocks)], axis=row_axis
+            )
             lo, hi = self._local_rows
-            if arr.shape[0] != hi - lo:
+            if arr.shape[row_axis] != hi - lo:
                 # replicated (or over-assembled) output: take our span
-                arr = arr[lo:hi]
+                sel = [slice(None)] * arr.ndim
+                sel[row_axis] = slice(lo, hi)
+                arr = arr[tuple(sel)]
             host[k] = arr
         return host
 
