@@ -124,7 +124,7 @@ def test_vognet_torch_twin_gradient_parity():
     torch_loss = (per * mask).sum() / mask.sum().clamp(min=1.0)
     torch_loss.backward()
 
-    assert abs(float(flax_loss) - float(torch_loss)) <= 1e-5 * max(
+    assert abs(float(flax_loss) - float(torch_loss.detach())) <= 1e-5 * max(
         abs(float(flax_loss)), 1.0
     )
     checked = 0

@@ -212,3 +212,46 @@ def test_load_across_optimizer_structures(fixture_dir, tmp_path):
     )
     m1 = lrn2.validate()
     assert abs(m0["acc"] - m1["acc"]) < 1e-9
+
+
+def test_load_drops_stale_checkpoint_params(fixture_dir, tmp_path):
+    """A checkpoint carrying a param the current model no longer has
+    (e.g. the removed dead lang/q_proj) restores through the load()
+    fallback: the stale leaf is dropped with a log notice, everything
+    else recovers exactly.  Missing NEW params must still raise."""
+    import orbax.checkpoint as ocp
+
+    lrn, data, _ = _learner(
+        fixture_dir, tmp_path, "stale", **{"train.epochs": 1}
+    )
+    lrn.fit()
+    params0 = jax.tree.map(np.asarray, lrn.state.params)
+    step0 = int(lrn.state.step)
+
+    # re-save the checkpoint with an injected stale leaf (simulates a
+    # ckpt written before a param was removed from the model)
+    aug = jax.tree.map(np.asarray, lrn.state.params)
+    aug["lang"]["q_proj"] = {
+        "kernel": np.zeros((4, 4), np.float32),
+        "bias": np.zeros((4,), np.float32),
+    }
+    path = tmp_path / "stale_ckpt"
+    ocp.StandardCheckpointer().save(
+        path,
+        {
+            "params": aug,
+            "opt_state": jax.tree.map(np.asarray, lrn.state.opt_state),
+            "step": np.asarray(step0),
+        },
+    )
+
+    lrn2, _, _ = _learner(fixture_dir, tmp_path, "stale2", **{"train.epochs": 1})
+    lrn2.load(path=str(path))
+    assert int(lrn2.state.step) == step0
+    jax.tree.map(
+        np.testing.assert_array_equal,
+        params0,
+        jax.tree.map(np.asarray, lrn2.state.params),
+    )
+    log_txt = (lrn2.dirs["txt_logs"] / "stale2.txt").read_text()
+    assert "stale param leaves" in log_txt and "lang/q_proj" in log_txt

@@ -111,7 +111,6 @@ class TorchVOGNet(nn.Module):
         )
         self.role_embed = nn.Embedding(cfg.ds.num_roles, m.role_dim)
         self.arg_proj = nn.Linear(H2 + m.role_dim + H2, D)
-        self.q_proj = nn.Linear(H2, D)
         self.prop_proj = nn.Linear(cfg.ds.prop_dim + 5, D)
         self.seg_proj = nn.Linear(cfg.ds.seg_dim, D)
         if variant in ("vid_grnd", "vog"):
@@ -267,7 +266,6 @@ def flax_params_to_torch(params: Dict) -> Dict[str, torch.Tensor]:
         np.asarray(flat[("lang", "role_embed", "embedding")]).copy()
     )
     put("arg_proj", ("lang", "arg_proj"))
-    put("q_proj", ("lang", "q_proj"))
     put("prop_proj", ("prop_enc", "prop_proj"))
     put("seg_proj", ("seg_enc", "seg_proj"))
 

@@ -80,8 +80,10 @@ class LangEncoder(nn.Module):
             jnp.concatenate([arg_span, role_emb, verb_tiled], axis=-1)
         )
         arg_rep = nn.relu(arg_rep)
-        q_rep = nn.Dense(m.vis_dim, name="q_proj")(h_n)
-        return {"arg_rep": arg_rep, "verb_rep": verb_rep, "q_rep": q_rep, "hidden": y}
+        # NOTE: no separate query-level projection — no model variant
+        # consumes one (a q rep would pool from ``y``/``h_n`` here if the
+        # reference verification pass shows a head that needs it)
+        return {"arg_rep": arg_rep, "verb_rep": verb_rep, "hidden": y}
 
 
 class PropEncoder(nn.Module):

@@ -441,6 +441,23 @@ class Learner:
 
             raw = ckptr.restore(ckpt_path)  # raw tree, no structure target
             raw_params = self._migrate_head_params(raw["params"])
+            # drop leaves the current model no longer has (params removed
+            # since the ckpt was written, e.g. the dead lang/q_proj) so
+            # old checkpoints stay loadable; missing NEW params still
+            # raise below — silently initializing weights would be wrong
+            from flax import traverse_util
+
+            cur = set(traverse_util.flatten_dict(self.state.params))
+            flat = traverse_util.flatten_dict(raw_params)
+            stale = [p for p in flat if p not in cur]
+            if stale:
+                for p in stale:
+                    del flat[p]
+                raw_params = traverse_util.unflatten_dict(flat)
+                self.log(
+                    "ckpt: dropped stale param leaves not in the current "
+                    f"model: {['/'.join(p) for p in stale]}"
+                )
             shardings = param_shardings(self.mesh, self.state.params)
             params = jax.tree.map(
                 lambda s, v: jax.device_put(np.asarray(v), s),
