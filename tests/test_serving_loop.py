@@ -87,6 +87,51 @@ def test_loop_concurrent_clients(fixture_dir):
         loop.close()
 
 
+def test_pipelined_matches_unpipelined(fixture_dir):
+    """pipeline_depth=2 (dispatch/fetch overlap) returns identical
+    responses to the inline depth-1 path, including across many flushes
+    so in-flight ordering is exercised."""
+    cfg, data, pred = _setup(fixture_dir)
+    reqs = batch_to_requests(next(iter(data.valid_dl)))
+    loop1 = ServingLoop(pred, max_batch=4, max_wait_ms=1.0, pipeline_depth=1)
+    loop2 = ServingLoop(pred, max_batch=4, max_wait_ms=1.0, pipeline_depth=2)
+    assert not loop1._pipelined and loop2._pipelined
+    try:
+        futs1 = [loop1.submit(reqs[i % len(reqs)]) for i in range(12)]
+        futs2 = [loop2.submit(reqs[i % len(reqs)]) for i in range(12)]
+        for f1, f2 in zip(futs1, futs2):
+            o1, o2 = f1.result(timeout=60), f2.result(timeout=60)
+            for k in ("pred_vid", "pred_prop", "pred_box", "pred_score"):
+                np.testing.assert_array_equal(o1[k], o2[k], err_msg=k)
+    finally:
+        loop1.close()
+        loop2.close()
+
+
+def test_pipelined_error_resolves_futures(fixture_dir):
+    """A request that fails inside dispatch (bad field shape) must reject
+    its future, not strand the client or kill the loop."""
+    cfg, data, pred = _setup(fixture_dir)
+    reqs = batch_to_requests(next(iter(data.valid_dl)))
+    loop = ServingLoop(pred, max_batch=4, max_wait_ms=1.0, pipeline_depth=2)
+    try:
+        bad = dict(reqs[0])
+        # string dtype: jnp.asarray inside Predictor.dispatch raises
+        bad["tokens"] = np.array(["x"] * len(reqs[0]["tokens"]))
+        f_bad = loop.submit(bad)
+        try:
+            f_bad.result(timeout=60)
+            raised = False
+        except Exception:
+            raised = True
+        assert raised
+        # the loop keeps serving after the failure
+        ok = loop(reqs[0])
+        assert np.isfinite(ok["pred_score"]).all()
+    finally:
+        loop.close()
+
+
 def test_cli_selftest(fixture_dir, tmp_path, capsys):
     from vog_tpu.cli import serve as serve_cli
 

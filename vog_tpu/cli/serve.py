@@ -183,6 +183,7 @@ def main(argv=None) -> Dict:
     concurrency = int(overrides.pop("concurrency", 8))
     max_batch = int(overrides.pop("serve.batch", 0))
     wait_ms = float(overrides.pop("serve.wait_ms", 2.0))
+    pipeline_depth = int(overrides.pop("serve.pipeline", 2))
     artifact = overrides.pop("artifact", None)  # serve a .vogx AOT export
     yml = overrides.pop("cfg", None)
     cfg = get_default_cfg(yml)
@@ -210,7 +211,10 @@ def main(argv=None) -> Dict:
     else:
         pred, data = _build_predictor(cfg, uid, tag, "random_init" in flags)
     loop = ServingLoop(
-        pred, max_batch=max_batch or cfg.train.bs, max_wait_ms=wait_ms
+        pred,
+        max_batch=max_batch or cfg.train.bs,
+        max_wait_ms=wait_ms,
+        pipeline_depth=pipeline_depth,
     )
     try:
         if selftest:

@@ -126,7 +126,9 @@ class ExportedPredictor:
         self._call = jax.jit(exported.call)  # compile once, replay forever
         self.batch_size = int(self.manifest["batch_size"])
 
-    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    def dispatch(self, batch: Dict[str, np.ndarray]) -> Dict:
+        """Async counterpart of ``__call__`` (same contract as
+        ``Predictor.dispatch``): validate + enqueue, return device arrays."""
         schema = self.manifest["schema"]
         feed = {}
         for k, meta in schema.items():
@@ -138,5 +140,11 @@ class ExportedPredictor:
                     f"'{k}' shape {list(v.shape)} != exported {meta['shape']}"
                 )
             feed[k] = v
-        out = self._call(feed)
+        return self._call(feed)
+
+    @staticmethod
+    def fetch(out: Dict) -> Dict[str, np.ndarray]:
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        return self.fetch(self.dispatch(batch))

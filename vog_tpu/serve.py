@@ -94,10 +94,22 @@ class Predictor:
         restored = ckptr.restore(Path(ckpt_path).absolute(), target)
         return cls(cfg, restored["params"], glove, tables=tables)
 
-    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        out = self._predict(
+    def dispatch(self, batch: Dict[str, np.ndarray]) -> Dict:
+        """Enqueue one jitted call and return the DEVICE output tree
+        without blocking on the result.  JAX dispatch is asynchronous, so
+        the caller can overlap host work (or the next dispatch) with this
+        call's compute + device->host fetch — ``ServingLoop`` uses this to
+        pipeline flushes."""
+        return self._predict(
             self.params,
             {k: jnp.asarray(v) for k, v in batch.items()},
             self.tables,
         )
+
+    @staticmethod
+    def fetch(out: Dict) -> Dict[str, np.ndarray]:
+        """Blocking device->host transfer of a ``dispatch`` result."""
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        return self.fetch(self.dispatch(batch))

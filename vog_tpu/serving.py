@@ -48,12 +48,25 @@ class ServingLoop:
         max_batch: int,
         max_wait_ms: float = 2.0,
         queue_depth: int = 1024,
+        pipeline_depth: int = 2,
     ):
         self.predictor = predictor
         self.max_batch = int(max_batch)
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
         self._closed = threading.Event()
+        # pipelined mode: the dispatcher enqueues async Predictor.dispatch
+        # results and a completion thread does the blocking device->host
+        # fetch, so flush N+1's dispatch overlaps flush N's compute+fetch.
+        # Falls back to inline call for predictors without dispatch/fetch.
+        self._pipelined = pipeline_depth > 1 and all(
+            hasattr(predictor, a) for a in ("dispatch", "fetch")
+        )
+        self._completer: Optional[threading.Thread] = None
+        if self._pipelined:
+            self._pipe: "queue.Queue" = queue.Queue(maxsize=pipeline_depth - 1)
+            self._completer = threading.Thread(target=self._complete, daemon=True)
+            self._completer.start()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -73,6 +86,9 @@ class ServingLoop:
     def close(self) -> None:
         self._closed.set()
         self._worker.join(timeout=30.0)
+        if self._completer is not None:
+            self._pipe.put(None)  # sentinel after the last dispatched flush
+            self._completer.join(timeout=30.0)
         # fail anything still queued
         try:
             while True:
@@ -118,13 +134,36 @@ class ServingLoop:
                 }
                 if "batch_mask" not in batch:  # assemble_batch needs it
                     batch["batch_mask"] = np.ones((self.max_batch,), np.uint8)
-                out = self.predictor(batch)
-                for i, fut in enumerate(futs):
-                    fut.set_result({k: v[i] for k, v in out.items()})
+                if self._pipelined:
+                    # async enqueue; the completion thread fetches + resolves
+                    self._pipe.put((self.predictor.dispatch(batch), futs))
+                else:
+                    out = self.predictor(batch)
+                    self._resolve(out, futs)
             except BaseException as e:  # resolve, never strand a client
                 for fut in futs:
                     if not fut.done():
                         fut.set_exception(e)
+
+    def _complete(self) -> None:
+        """Completion stage of the pipelined mode: blocking device->host
+        fetch of each in-flight flush, in dispatch order."""
+        while True:
+            item = self._pipe.get()
+            if item is None:
+                return
+            out_dev, futs = item
+            try:
+                self._resolve(self.predictor.fetch(out_dev), futs)
+            except BaseException as e:
+                for fut in futs:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    @staticmethod
+    def _resolve(out: Dict[str, np.ndarray], futs: List[Future]) -> None:
+        for i, fut in enumerate(futs):
+            fut.set_result({k: v[i] for k, v in out.items()})
 
 
 def _monotonic() -> float:
