@@ -1,0 +1,136 @@
+"""train.grad_accum — microbatched gradient accumulation inside the jitted
+step (lax.scan fwd/bwd + ONE averaged update).  Must match a hand-rolled
+per-microbatch grad average bit-for-bit-close, enforce divisibility, and
+compose with the Learner, fused dispatch, and the device store.
+
+Semantics note (state.py): each microbatch normalizes its own loss by its
+own mask count and grads average uniformly — exactly the reference's DDP
+per-rank normalization (SURVEY §2 distributed row), so accum=K at bs=B is
+the single-host analog of K DDP ranks at bs=B/K.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import small_cfg
+from vog_tpu.data import get_data
+from vog_tpu.model import compute_loss
+from vog_tpu.sampling import assemble_batch
+from vog_tpu.train import Learner, make_mesh, make_train_step, shard_batch
+from vog_tpu.train.state import cast_compact
+
+
+def _learner(fixture_dir, tmp_path, uid, **over):
+    over.setdefault("mdl.name", "vog")
+    over.setdefault("ds.conc_type", "spat")
+    over.setdefault("misc.mesh_data", 1)
+    over.setdefault("train.bs", 4)
+    over.setdefault("train.log_every", 1000)
+    cfg = small_cfg(fixture_dir, **over)
+    cfg.misc.tmp_path = str(tmp_path / "tmp" / uid)
+    mesh = make_mesh(cfg)
+    data = get_data(cfg, global_batch_size=cfg.train.bs * mesh.shape["data"])
+    return Learner(uid, data, cfg, mesh=mesh)
+
+
+def _manual_accum_step(state, batch, rng, cfg, accum):
+    """The equations the scan path must reproduce: per-microbatch grads
+    (own-mask-count loss normalization, per-microbatch dropout fold),
+    uniform average, one optimizer update."""
+    step_rng = jax.random.fold_in(rng, state.step)
+    B = next(iter(batch.values())).shape[0]
+    b = B // accum
+    grads_sum = None
+    for i in range(accum):
+        mb = {
+            k: jnp.asarray(np.asarray(v)[i * b : (i + 1) * b])
+            for k, v in batch.items()
+        }
+
+        def loss_fn(params):
+            clip = assemble_batch(cast_compact(mb), cfg.ds.conc_type)
+            logits = state.apply_fn(
+                {"params": params},
+                clip,
+                deterministic=False,
+                rngs={"dropout": jax.random.fold_in(step_rng, i)},
+            )
+            loss, _ = compute_loss(
+                logits,
+                clip,
+                cfg.train.pos_weight,
+                cfg.train.loss_type,
+                cfg.train.rank_weight,
+                rank_num_cmp=cfg.ds.num_cmp if cfg.ds.conc_type == "sep" else 1,
+            )
+            return loss
+
+        g = jax.grad(loss_fn)(state.params)
+        grads_sum = g if grads_sum is None else jax.tree.map(jnp.add, grads_sum, g)
+    grads = jax.tree.map(lambda x: x / accum, grads_sum)
+    return state.apply_gradients(grads=grads)
+
+
+def test_grad_accum_matches_manual(fixture_dir, tmp_path):
+    lrn = _learner(fixture_dir, tmp_path, "ga_manual", **{"train.grad_accum": 2})
+    batch = next(iter(lrn.data.train_dl))
+    sb = shard_batch(batch, lrn.mesh)
+
+    new_state, aux = jax.jit(make_train_step(lrn.cfg))(lrn.state, sb, lrn.rng)
+    assert np.isfinite(float(aux["loss"]))
+    ref_state = _manual_accum_step(lrn.state, batch, lrn.rng, lrn.cfg, accum=2)
+
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(new_state.params)),
+        jax.tree.leaves(jax.device_get(ref_state.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-7)
+
+
+def test_grad_accum_changes_vs_plain_step(fixture_dir, tmp_path):
+    # accum=2 re-normalizes per microbatch (DDP-rank semantics), so at
+    # equal data it is NOT the bit-identical plain step — guard against
+    # the knob silently becoming a no-op
+    lrn = _learner(fixture_dir, tmp_path, "ga_diff")
+    batch = shard_batch(next(iter(lrn.data.train_dl)), lrn.mesh)
+    cfg2 = lrn.cfg
+    s1, _ = jax.jit(make_train_step(cfg2))(lrn.state, batch, lrn.rng)
+    cfg2.train.grad_accum = 2
+    s2, _ = jax.jit(make_train_step(cfg2))(lrn.state, batch, lrn.rng)
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(s1.params)),
+            jax.tree.leaves(jax.device_get(s2.params)),
+        )
+    ]
+    assert max(diffs) > 0.0
+
+
+def test_grad_accum_divisibility_error(fixture_dir, tmp_path):
+    lrn = _learner(fixture_dir, tmp_path, "ga_div", **{"train.grad_accum": 3})
+    batch = shard_batch(next(iter(lrn.data.train_dl)), lrn.mesh)
+    with pytest.raises(ValueError, match="grad_accum"):
+        jax.jit(make_train_step(lrn.cfg))(lrn.state, batch, lrn.rng)
+
+
+def test_grad_accum_learner_e2e(fixture_dir, tmp_path):
+    # composes with the fused K-step dispatch (scan-in-scan) and the
+    # device store (per-microbatch in-step gather)
+    lrn = _learner(
+        fixture_dir,
+        tmp_path,
+        "ga_e2e",
+        **{
+            "train.grad_accum": 2,
+            "train.epochs": 1,
+            "train.steps_per_dispatch": 3,
+            "ds.device_store": "on",
+        },
+    )
+    metrics = lrn.fit()
+    assert int(lrn.state.step) == 12  # 48 samples / bs 4
+    for k in ("acc", "strict_acc", "cons"):
+        assert np.isfinite(metrics[k])

@@ -128,6 +128,19 @@ class TrainCfg:
     # before optax hard-stops.  0 keeps strict reference behavior (a NaN
     # propagates and misc.check_nans aborts the run at the next log).
     skip_nonfinite: int = 0
+    # >1: split each batch into K equal microbatches INSIDE the jitted
+    # step (lax.scan over fwd/bwd, one param-shaped grad accumulator) and
+    # apply ONE averaged optimizer update — peak activation memory drops
+    # ~K× at fixed effective batch (the P100-SPAT memory lever; lets bs
+    # grow past what the un-accumulated step fits in HBM).  Gradient
+    # semantics match the reference's DDP ranks exactly: each microbatch
+    # normalizes its own loss by its own mask count and grads average
+    # uniformly, as NCCL all-reduce does across equal-size ranks (SURVEY
+    # §2 distributed row).  Requires train.bs % grad_accum == 0; composes
+    # with steps_per_dispatch and both device-store modes (the feature
+    # gather runs per-microbatch, so gathered features never materialize
+    # at full batch size).  1 = off (reference behavior).
+    grad_accum: int = 1
     num_eval_batches: int = 0  # 0 = all
     # validate every N epochs (1 = reference behavior: every epoch); the
     # final epoch always validates so fit() returns real metrics

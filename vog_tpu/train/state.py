@@ -232,30 +232,89 @@ def make_train_step(
     device-resident feature tables) and batches carry ``vid_rows`` — the
     feature gather happens here inside jit (data/device_store.py).
     store_mesh: set when the tables are row-sharded over the mesh's 'data'
-    axis (P100-scale) — the gather becomes a collective."""
+    axis (P100-scale) — the gather becomes a collective.
+    cfg.train.grad_accum > 1 routes the step through the microbatched
+    gradient-accumulation scan (see the inline comment below)."""
     conc = cfg.ds.conc_type
     gather = _make_gather(cfg, device_store, store_mesh)
+    accum = max(int(getattr(cfg.train, "grad_accum", 1)), 1)
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array, tables=None):
-        batch = cast_compact(gather(batch, tables))
         step_rng = jax.random.fold_in(rng, state.step)
-        clip = assemble_batch(batch, conc)
 
-        def loss_fn(params):
-            logits = state.apply_fn(
-                {"params": params},
-                clip,
-                deterministic=False,
-                rngs={"dropout": step_rng},
+        if accum == 1:
+            batch = cast_compact(gather(batch, tables))
+            clip = assemble_batch(batch, conc)
+
+            def loss_fn(params):
+                logits = state.apply_fn(
+                    {"params": params},
+                    clip,
+                    deterministic=False,
+                    rngs={"dropout": step_rng},
+                )
+                loss, aux = compute_loss(
+                    logits, clip, cfg.train.pos_weight,
+                    cfg.train.loss_type, cfg.train.rank_weight,
+                    rank_num_cmp=cfg.ds.num_cmp if conc == "sep" else 1,
+                )
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
             )
-            loss, aux = compute_loss(
+            new_state = state.apply_gradients(grads=grads)
+            aux["grad_norm"] = optax.global_norm(grads)
+            return new_state, aux
+
+        # grad-accumulation path (train.grad_accum = K): split the batch
+        # into K equal microbatches, lax.scan fwd/bwd over them carrying a
+        # single param-shaped grad accumulator, then ONE averaged optimizer
+        # update.  Peak activation memory drops ~K× at fixed effective
+        # batch — the P100-SPAT memory lever.  Gradient semantics match
+        # the reference's DDP ranks (SURVEY §2 distributed row): each
+        # microbatch normalizes its own loss by its own mask count and the
+        # grads average uniformly, exactly what NCCL all-reduce does across
+        # equal-size ranks.  Device-store gathers and ann-store expansion
+        # run per-microbatch inside the scan, so gathered features are
+        # never materialized at the full batch size either.
+        B = jax.tree.leaves(batch)[0].shape[0]
+        if B % accum != 0:
+            raise ValueError(
+                f"train.grad_accum={accum} must divide the batch size {B}"
+            )
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum, B // accum) + x.shape[1:]), batch
+        )
+
+        def micro_loss(params, mb, rng_i):
+            mb = cast_compact(gather(mb, tables))
+            clip = assemble_batch(mb, conc)
+            logits = state.apply_fn(
+                {"params": params}, clip, deterministic=False,
+                rngs={"dropout": rng_i},
+            )
+            return compute_loss(
                 logits, clip, cfg.train.pos_weight,
                 cfg.train.loss_type, cfg.train.rank_weight,
                 rank_num_cmp=cfg.ds.num_cmp if conc == "sep" else 1,
             )
-            return loss, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+        def body(acc_g, xs):
+            mb, i = xs
+            (_, aux), g = grad_fn(
+                state.params, mb, jax.random.fold_in(step_rng, i)
+            )
+            return jax.tree.map(jnp.add, acc_g, g), aux
+
+        zero_g = jax.tree.map(jnp.zeros_like, state.params)
+        acc_g, auxs = jax.lax.scan(
+            body, zero_g, (micro, jnp.arange(accum, dtype=jnp.int32))
+        )
+        grads = jax.tree.map(lambda g: g / accum, acc_g)
+        aux = jax.tree.map(lambda x: x.mean(0), auxs)
         new_state = state.apply_gradients(grads=grads)
         aux["grad_norm"] = optax.global_norm(grads)
         return new_state, aux
