@@ -82,11 +82,16 @@ def test_grad_accum_matches_manual(fixture_dir, tmp_path):
     assert np.isfinite(float(aux["loss"]))
     ref_state = _manual_accum_step(lrn.state, batch, lrn.rng, lrn.cfg, accum=2)
 
+    # tolerance note: the scan path reassociates the fp32 grad sum (~ulp
+    # differences), and Adam's 1/(sqrt(v)+eps) amplifies that to ~1e-6 on
+    # elements whose grad is near zero.  First-step updates are ~lr=1e-4,
+    # so atol 5e-6 (5% of an update) still fails on any real semantic
+    # divergence (wrong normalization/averaging moves updates at 1e-4).
     for a, b in zip(
         jax.tree.leaves(jax.device_get(new_state.params)),
         jax.tree.leaves(jax.device_get(ref_state.params)),
     ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-7)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=5e-6)
 
 
 def test_grad_accum_changes_vs_plain_step(fixture_dir, tmp_path):

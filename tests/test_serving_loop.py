@@ -132,6 +132,61 @@ def test_pipelined_error_resolves_futures(fixture_dir):
         loop.close()
 
 
+def test_bucketed_flush_matches_full_batch(fixture_dir):
+    """Bucketed mode (pad to smallest bucket >= n) returns identical
+    responses to the single-shape loop, for flush sizes landing in each
+    bucket, and actually dispatches bucket-sized batches."""
+    cfg, data, pred = _setup(fixture_dir)
+    reqs = batch_to_requests(next(iter(data.valid_dl)))
+
+    dispatched = []
+    orig = pred.dispatch
+
+    def spy(batch):
+        dispatched.append(len(batch["batch_mask"]))
+        return orig(batch)
+
+    pred.dispatch = spy
+    full = ServingLoop(pred, max_batch=4, max_wait_ms=5.0)
+    bucketed = ServingLoop(
+        pred, max_batch=4, max_wait_ms=5.0, bucket_sizes=[1, 2]
+    )
+    assert bucketed.bucket_sizes == [1, 2, 4]
+    try:
+        for n in (1, 2, 3, 4):
+            futs_f = [full.submit(reqs[i % len(reqs)]) for i in range(n)]
+            outs_f = [f.result(timeout=60) for f in futs_f]
+            dispatched.clear()  # record only the bucketed loop's flushes
+            futs_b = [bucketed.submit(reqs[i % len(reqs)]) for i in range(n)]
+            outs_b = [f.result(timeout=60) for f in futs_b]
+            for of, ob in zip(outs_f, outs_b):
+                for k in ("pred_vid", "pred_prop", "pred_box", "pred_score"):
+                    np.testing.assert_allclose(
+                        ob[k], of[k], rtol=1e-5, atol=1e-6, err_msg=k
+                    )
+            # every bucketed dispatch pads to a bucket shape, and a lone
+            # request runs at B=1 (never the full batch shape)
+            assert dispatched and all(d in (1, 2, 4) for d in dispatched)
+            if n == 1:
+                assert dispatched == [1], dispatched
+    finally:
+        full.close()
+        bucketed.close()
+        pred.dispatch = orig
+
+
+def test_prewarm_compiles_buckets(fixture_dir):
+    cfg, data, pred = _setup(fixture_dir)
+    req = batch_to_requests(next(iter(data.valid_dl)))[0]
+    loop = ServingLoop(pred, max_batch=4, max_wait_ms=1.0, bucket_sizes=[1, 2])
+    try:
+        loop.prewarm(req)  # must not raise; compiles B in {1,2,4}
+        out = loop(req)
+        assert out["pred_vid"].shape == (cfg.ds.max_srl_args, cfg.ds.num_frms)
+    finally:
+        loop.close()
+
+
 def test_cli_selftest(fixture_dir, tmp_path, capsys):
     from vog_tpu.cli import serve as serve_cli
 

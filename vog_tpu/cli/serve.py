@@ -184,6 +184,7 @@ def main(argv=None) -> Dict:
     max_batch = int(overrides.pop("serve.batch", 0))
     wait_ms = float(overrides.pop("serve.wait_ms", 2.0))
     pipeline_depth = int(overrides.pop("serve.pipeline", 2))
+    buckets = str(overrides.pop("serve.buckets", "true")).lower() != "false"
     artifact = overrides.pop("artifact", None)  # serve a .vogx AOT export
     yml = overrides.pop("cfg", None)
     cfg = get_default_cfg(yml)
@@ -207,15 +208,37 @@ def main(argv=None) -> Dict:
         pred = ExportedPredictor(artifact)
         data = get_data(cfg, cfg.train.bs)
         max_batch = pred.batch_size
+        buckets = False  # .vogx artifacts are fixed-shape StableHLO
         print(f"serving exported artifact {artifact}", flush=True)
     else:
         pred, data = _build_predictor(cfg, uid, tag, "random_init" in flags)
+    max_batch = max_batch or cfg.train.bs
+    # powers of two up to max_batch: light load pads to a small bucket
+    # instead of the full batch shape (one cached executable per bucket)
+    bucket_sizes = None
+    if buckets:
+        bucket_sizes, b = [], 1
+        while b < max_batch:
+            bucket_sizes.append(b)
+            b *= 2
     loop = ServingLoop(
         pred,
-        max_batch=max_batch or cfg.train.bs,
+        max_batch=max_batch,
         max_wait_ms=wait_ms,
         pipeline_depth=pipeline_depth,
+        bucket_sizes=bucket_sizes,
     )
+    if bucket_sizes:
+        from vog_tpu.serving import batch_to_requests
+
+        sample = batch_to_requests(next(iter(data.valid_dl)))[0]
+        t0 = time.perf_counter()
+        loop.prewarm(sample)
+        print(
+            f"prewarmed buckets {loop.bucket_sizes} "
+            f"in {time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
     try:
         if selftest:
             out = _selftest(loop, data, selftest, concurrency)

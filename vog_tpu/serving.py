@@ -5,9 +5,12 @@ this is the deployment counterpart around ``vog_tpu.serve.Predictor``
 (north star: "intended for large-scale production deployment and
 serving").  Clients submit single-query requests; a dispatcher thread
 coalesces up to ``max_batch`` of them (waiting at most ``max_wait_ms``
-once the first is queued), pads the tail to the jitted batch shape by
+once the first is queued), pads the tail to a jitted batch shape by
 repeating a row, runs ONE jitted Predictor call, and resolves each
-request's Future with its row slice.
+request's Future with its row slice.  With ``bucket_sizes`` a flush of
+n requests pads to the smallest bucket >= n (one cached executable per
+bucket), so light load pays small-batch compute instead of the full
+batch shape; ``prewarm`` compiles every bucket up front.
 
 TPU-first rationale: one fixed-shape batched call per flush keeps a
 single cached XLA executable hot and feeds the MXU full tiles; with the
@@ -49,9 +52,21 @@ class ServingLoop:
         max_wait_ms: float = 2.0,
         queue_depth: int = 1024,
         pipeline_depth: int = 2,
+        bucket_sizes: Optional[List[int]] = None,
     ):
         self.predictor = predictor
         self.max_batch = int(max_batch)
+        # batch-size buckets: a flush of n requests pads to the smallest
+        # bucket >= n instead of always to max_batch, so light load pays
+        # bucket-sized compute.  Each bucket is one cached jit executable
+        # (Predictor re-traces per shape); keep the list short (powers of
+        # two).  None = legacy single-shape behavior — REQUIRED for
+        # fixed-shape predictors (ExportedPredictor .vogx artifacts).
+        if bucket_sizes:
+            bs = sorted({int(b) for b in bucket_sizes if 0 < int(b) <= self.max_batch})
+            self.bucket_sizes = bs + ([] if bs and bs[-1] == self.max_batch else [self.max_batch])
+        else:
+            self.bucket_sizes = [self.max_batch]
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
         self._closed = threading.Event()
@@ -82,6 +97,16 @@ class ServingLoop:
     def __call__(self, request: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """Blocking convenience: submit + wait."""
         return self.submit(request).result()
+
+    def prewarm(self, request: Dict[str, np.ndarray]) -> None:
+        """Compile every bucket executable up front (one padded call per
+        bucket, bypassing the queue) so no client pays first-hit compile
+        latency when the load level shifts buckets."""
+        for b in self.bucket_sizes:
+            batch = {k: np.stack([request[k]] * b) for k in request}
+            if "batch_mask" not in batch:
+                batch["batch_mask"] = np.ones((b,), np.uint8)
+            self.predictor(batch)
 
     def close(self) -> None:
         self._closed.set()
@@ -125,15 +150,16 @@ class ServingLoop:
             reqs = [r for r, _ in items]
             futs = [f for _, f in items]
             try:
-                # pad the tail to the jitted batch shape by repeating the
-                # last request (responses for pad rows are discarded)
+                # pad the tail to the smallest bucket >= n by repeating
+                # the last request (responses for pad rows are discarded)
                 n = len(reqs)
-                padded = reqs + [reqs[-1]] * (self.max_batch - n)
+                target = next(b for b in self.bucket_sizes if b >= n)
+                padded = reqs + [reqs[-1]] * (target - n)
                 batch = {
                     k: np.stack([r[k] for r in padded]) for k in padded[0]
                 }
                 if "batch_mask" not in batch:  # assemble_batch needs it
-                    batch["batch_mask"] = np.ones((self.max_batch,), np.uint8)
+                    batch["batch_mask"] = np.ones((target,), np.uint8)
                 if self._pipelined:
                     # async enqueue; the completion thread fetches + resolves
                     self._pipe.put((self.predictor.dispatch(batch), futs))
