@@ -123,6 +123,86 @@ def test_multi_dispatch_mid_epoch_crash_resume_bit_identical(
     assert int(resumed.state.step) == int(full.state.step)
 
 
+def test_multi_dispatch_nan_containment(fixture_dir, tmp_path):
+    """skip_nonfinite=0 (parity default) + steps_per_dispatch=K: a NaN at
+    scan step 1 must NOT poison steps 2..K-1 inside the dispatch (round-3
+    verdict weak #4).  The scan body carries a sticky poisoned flag keyed
+    on non-finite loss: step 1's and all later updates in the dispatch are
+    frozen, so the fetched state is bit-identical to stopping after step 0
+    — exactly what the host-side abort at the dispatch boundary assumes."""
+    import jax
+
+    from vog_tpu.train import make_train_step
+
+    K = 4
+    lrn = _learner(
+        fixture_dir,
+        tmp_path,
+        "nanK",
+        **{"train.epochs": 1, "train.steps_per_dispatch": K},
+    )
+    assert lrn.cfg.train.skip_nonfinite == 0
+
+    stacked = next(iter(lrn.data.train_dl))
+    props = np.array(stacked["props"])
+    props[1] = np.nan  # scan step 1 of K blows up
+    poisoned = {**stacked, "props": props}
+
+    # oracle FIRST (the multi step donates lrn.state): the dispatch result
+    # must equal applying step 0 ONLY
+    step = jax.jit(make_train_step(lrn.cfg))
+    b0 = jax.tree.map(lambda x: np.asarray(x)[0], stacked)
+    s, _ = step(lrn.state, b0, lrn.rng)
+    s_params = jax.device_get(s.params)
+
+    new_state, aux = lrn._train_step_multi(
+        lrn.state, poisoned, lrn.rng, lrn._tables
+    )
+    lo = np.asarray(jax.device_get(aux["loss"])).reshape(-1)
+    assert np.isfinite(lo[0]) and not np.isfinite(lo[1])
+    # steps 2..K-1's losses come from the FROZEN (clean) params -> finite;
+    # the host still sees lo[1] and aborts (test below)
+    assert np.all(np.isfinite(lo[2:]))
+    for p in jax.tree.leaves(jax.device_get(new_state.params)):
+        assert np.all(np.isfinite(p))
+
+    assert int(new_state.step) == int(s.step) == 1
+    for a, b_ in zip(
+        jax.tree.leaves(jax.device_get(new_state.params)),
+        jax.tree.leaves(s_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_multi_dispatch_nan_aborts_at_boundary(fixture_dir, tmp_path):
+    """Learner-level: with skip_nonfinite=0 + fused dispatch, a poisoned
+    sample still aborts the run (FloatingPointError via misc.check_nans)
+    at the dispatch boundary — and the learner's params at abort time are
+    NOT poisoned (the in-scan freeze dropped the bad update)."""
+    import jax
+    import pytest
+
+    lrn = _learner(
+        fixture_dir,
+        tmp_path,
+        "nanAb",
+        **{
+            "train.epochs": 1,
+            "train.steps_per_dispatch": 4,
+            "train.log_every": 1,
+        },
+    )
+    assert lrn.cfg.misc.check_nans
+    store = lrn.data.train_dl.ds.store
+    vid = next(v for v in store.videos() if v.startswith("tr"))
+    feats, boxes, scores, seg = store._cache[vid]
+    store._cache[vid] = (np.full_like(feats, np.inf), boxes, scores, seg)
+    with pytest.raises(FloatingPointError):
+        lrn.fit()
+    for p in jax.tree.leaves(jax.device_get(lrn.state.params)):
+        assert np.all(np.isfinite(p))
+
+
 def test_eval_batches_per_dispatch_identical(fixture_dir, tmp_path):
     """Fused multi-batch eval (scan over E stacked eval batches + one
     bulk fetch) must reproduce the per-batch path exactly: same metric

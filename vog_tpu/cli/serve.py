@@ -184,7 +184,13 @@ def main(argv=None) -> Dict:
     max_batch = int(overrides.pop("serve.batch", 0))
     wait_ms = float(overrides.pop("serve.wait_ms", 2.0))
     pipeline_depth = int(overrides.pop("serve.pipeline", 2))
-    buckets = str(overrides.pop("serve.buckets", "true")).lower() != "false"
+    buckets_raw = str(overrides.pop("serve.buckets", "true")).lower()
+    if buckets_raw in ("true", "1", "yes", "on"):
+        buckets = True
+    elif buckets_raw in ("false", "0", "no", "off"):
+        buckets = False
+    else:
+        raise SystemExit(f"--serve.buckets: unrecognized value {buckets_raw!r}")
     artifact = overrides.pop("artifact", None)  # serve a .vogx AOT export
     yml = overrides.pop("cfg", None)
     cfg = get_default_cfg(yml)
@@ -231,14 +237,18 @@ def main(argv=None) -> Dict:
     if bucket_sizes:
         from vog_tpu.serving import batch_to_requests
 
-        sample = batch_to_requests(next(iter(data.valid_dl)))[0]
-        t0 = time.perf_counter()
-        loop.prewarm(sample)
-        print(
-            f"prewarmed buckets {loop.bucket_sizes} "
-            f"in {time.perf_counter() - t0:.1f}s",
-            flush=True,
-        )
+        first = next(iter(data.valid_dl), None)
+        if first is None:
+            print("valid split is empty; skipping bucket prewarm", flush=True)
+        else:
+            sample = batch_to_requests(first)[0]
+            t0 = time.perf_counter()
+            loop.prewarm(sample)
+            print(
+                f"prewarmed buckets {loop.bucket_sizes} "
+                f"in {time.perf_counter() - t0:.1f}s",
+                flush=True,
+            )
     try:
         if selftest:
             out = _selftest(loop, data, selftest, concurrency)

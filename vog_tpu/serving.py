@@ -63,6 +63,18 @@ class ServingLoop:
         # two).  None = legacy single-shape behavior — REQUIRED for
         # fixed-shape predictors (ExportedPredictor .vogx artifacts).
         if bucket_sizes:
+            # fail fast (round-3 ADVICE): a fixed-shape predictor (e.g.
+            # ExportedPredictor — StableHLO compiled at one batch size)
+            # cannot serve sub-max bucket shapes; without this check the
+            # first sub-max flush fails at runtime as per-request Future
+            # exceptions instead of a construction-time error.
+            fixed_bs = getattr(predictor, "batch_size", None)
+            if fixed_bs is not None:
+                raise ValueError(
+                    "bucket_sizes is incompatible with a fixed-shape "
+                    f"predictor (batch_size={fixed_bs}); pass "
+                    "bucket_sizes=None"
+                )
             bs = sorted({int(b) for b in bucket_sizes if 0 < int(b) <= self.max_batch})
             self.bucket_sizes = bs + ([] if bs and bs[-1] == self.max_batch else [self.max_batch])
         else:
