@@ -2,7 +2,25 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "query_clip_pairs_per_sec_per_chip",
-   "vs_baseline": N}
+   "vs_baseline": N, ...}
+
+Round-4 extra fields (VERDICT r3 item #4 — the fp32-highest headline is
+pinned at the fp32-emulation matmul ceiling and has been flat for three
+rounds while the real wins landed elsewhere; these make the driver
+artifact carry them):
+  e2e_pairs_per_sec   real-data training throughput at the PRODUCTION
+                      config (bf16 tables + default precision, device+ann
+                      index-only stores, fused dispatch) through the real
+                      host input path — tools/bench_input.py §measure
+  e2e_ms_per_step, e2e_stall_pct, e2e_config   its context
+  mfu                 achieved FLOP/s over the v5e bf16 peak (197 TFLOP/s)
+                      at the production step's compute floor, FLOPs from
+                      XLA cost analysis of the compiled step
+  kernel_parity       on-chip Mosaic-vs-XLA maxdiff gate for the three
+                      Pallas kernels (tools/verify_kernels.py, fast
+                      shapes, fwd+grads) — closes VERDICT r3 weak #3
+Extras are skipped (null, with "skipped" reason) past BENCH_BUDGET_S
+(default 2100 s) or on error; BENCH_EXTRAS=0 disables them outright.
 
 Metric definition (BASELINE.md): a "query-clip pair" is one (query, video)
 scoring; SVSQ = 1 pair/sample, SEP/TEMP/SPAT = 4 pairs/sample (the 4-video
@@ -42,6 +60,12 @@ STEPS = 50
 
 
 def main() -> None:
+    # kernel parity runs FIRST, in a subprocess, before this process
+    # initializes the TPU backend: the axon tunnel admits one client at a
+    # time, so spawning it after the headline (as round-4 first tried)
+    # dies on device acquisition
+    parity = _kernel_parity()
+
     from __graft_entry__ import _cfg, _glove, _random_batch
     from vog_tpu.train.dist import make_mesh, shard_batch
     from vog_tpu.train.state import init_state, make_train_step
@@ -117,22 +141,123 @@ def main() -> None:
 
     pairs = calls * steps_per_call * BATCH * cfg.ds.num_cmp
     pps = pairs / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"vognet_{cfg.ds.conc_type}_gt5_train_throughput",
-                "value": round(pps, 2),
-                "unit": "query_clip_pairs_per_sec_per_chip",
-                # both denominators, labeled (round-2 ADVICE): vs_baseline
-                # divides by the MEASURED torch-CPU reference step on this
-                # host; vs_gpu_estimate by the unverified paper-era GPU
-                # ballpark for context
-                "vs_baseline": round(pps / REF_PAIRS_PER_SEC, 3),
-                "baseline_kind": "torch_cpu_measured_1thread",
-                "vs_gpu_estimate": round(pps / GPU_EST_PAIRS_PER_SEC, 3),
-            }
-        )
+    out = {
+        "metric": f"vognet_{cfg.ds.conc_type}_gt5_train_throughput",
+        "value": round(pps, 2),
+        "unit": "query_clip_pairs_per_sec_per_chip",
+        # both denominators, labeled (round-2 ADVICE): vs_baseline
+        # divides by the MEASURED torch-CPU reference step on this
+        # host; vs_gpu_estimate by the unverified paper-era GPU
+        # ballpark for context
+        "vs_baseline": round(pps / REF_PAIRS_PER_SEC, 3),
+        "baseline_kind": "torch_cpu_measured_1thread",
+        "vs_gpu_estimate": round(pps / GPU_EST_PAIRS_PER_SEC, 3),
+    }
+    # release the headline step's buffers before the extras re-init
+    del state, batch, train_step
+    out.update(_extras())
+    out.update(parity)
+    print(json.dumps(out))
+
+
+# v5e bf16 peak per chip (public spec: 197 TFLOP/s bf16, one MXU core)
+PEAK_BF16_TFLOPS = 197.0
+
+
+def _extras() -> dict:
+    """Real-data e2e throughput + MFU + on-chip kernel parity; every
+    section is budget-gated and failure-isolated so the headline line
+    always prints."""
+    import os
+    import sys
+    import time as _t
+
+    if os.environ.get("BENCH_EXTRAS", "1") == "0":
+        return {}
+    t_start = _t.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+    left = lambda: budget - (_t.perf_counter() - t_start)
+    out: dict = {}
+
+    # -- real-data e2e + mfu ------------------------------------------------
+    data_dir = os.environ.get("BENCH_DATA") or next(
+        (d for d in ("data/asrl", "data/asrl_40k", "data/asrl_1k6")
+         if os.path.isdir(d)),
+        None,
     )
+    if data_dir is None:
+        out["e2e_pairs_per_sec"] = None
+        out["e2e_skipped"] = "no real-dims dataset on disk"
+    elif left() < 120:
+        out["e2e_pairs_per_sec"] = None
+        out["e2e_skipped"] = "budget"
+    else:
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+            from bench_input import measure
+
+            K = int(os.environ.get("BENCH_E2E_K", "8"))
+            r = measure(
+                "gt5", BATCH, data_dir, "index", "default", K=K,
+                N=int(os.environ.get("BENCH_E2E_N", "96")), verbose=False,
+            )
+            out["e2e_pairs_per_sec"] = round(r["pairs_per_sec"], 1)
+            out["e2e_ms_per_step"] = round(r["t_e2e"] * 1e3, 2)
+            out["e2e_stall_pct"] = round(r["stall_pct"], 1)
+            out["e2e_config"] = (
+                f"gt5 spat B={BATCH} {r['mode']} bf16 K={K} {data_dir}"
+            )
+            if r["flops_per_step"]:
+                tflops = r["flops_per_step"] / r["t_compute"] / 1e12
+                out["achieved_tflops"] = round(tflops, 2)
+                out["mfu"] = round(tflops / PEAK_BF16_TFLOPS, 4)
+                out["mfu_peak_ref"] = f"v5e bf16 {PEAK_BF16_TFLOPS:.0f} TF/s"
+        except Exception as e:  # never lose the headline to an extra
+            out["e2e_pairs_per_sec"] = None
+            out["e2e_skipped"] = f"{type(e).__name__}: {e}"[:200]
+
+    return out
+
+
+def _kernel_parity() -> dict:
+    """On-chip kernel parity gate in a subprocess (own TPU client, own
+    matmul-precision toggle; must run before the parent grabs the chip —
+    the axon tunnel serializes clients)."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("BENCH_EXTRAS", "1") == "0":
+        return {}
+    out: dict = {}
+    try:
+        env = dict(os.environ, VERIFY_FAST="1")
+        p = subprocess.run(
+            [sys.executable, os.path.join("tools", "verify_kernels.py")],
+            capture_output=True, text=True,
+            timeout=float(os.environ.get("BENCH_PARITY_TIMEOUT_S", "900")),
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+        )
+        lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"no JSON from verify_kernels (rc={p.returncode}): "
+                + p.stderr.strip().splitlines()[-1][:150]
+            )
+        rep = json.loads(lines[-1])
+        checks = rep["checks"]
+        out["kernel_parity"] = {
+            "ok": rep["ok"],
+            "mosaic": rep["mosaic"],
+            "precision": rep["precision"],
+            "max_rel_fwd": max(c["fwd"] for c in checks.values()),
+            "max_rel_grads": max(c["grads"] for c in checks.values()),
+            "n_checks": len(checks),
+        }
+    except Exception as e:
+        out["kernel_parity"] = None
+        out["kernel_parity_skipped"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
 if __name__ == "__main__":

@@ -81,3 +81,99 @@ def test_export_serving_loop_drop_in(fixture_dir, tmp_path):
         assert "pred_vid" in out and np.isfinite(out["pred_score"]).all()
     finally:
         loop.close()
+
+
+def _dequant_host(req):
+    """Host-side inverse of encode_features(int8) — the exact contract the
+    compact artifact implements: artifact(encoded) == live(dequant(encoded))."""
+    out = {k: v for k, v in req.items()}
+    out["props"] = out["props"].astype(np.float32) * out.pop("props_scale")[..., None]
+    out["seg_feats"] = (
+        out["seg_feats"].astype(np.float32) * out.pop("seg_scale")[..., None]
+    )
+    return out
+
+
+def test_export_int8_encoding(fixture_dir, tmp_path):
+    """Compact int8 request artifact: payload 4x smaller, outputs equal
+    the live predictor fed the dequantized features."""
+    from vog_tpu.export import encode_features
+
+    cfg, pred, glove = _predictor(fixture_dir)
+    path = export_predictor(pred, 2, tmp_path / "q.vogx", feature_encoding="int8")
+    loaded = ExportedPredictor(path)
+    req = _request(cfg, glove)
+
+    enc = encode_features(req, "int8")
+    assert enc["props"].dtype == np.int8
+    assert enc["props"].nbytes == req["props"].nbytes // 4
+    assert enc["seg_feats"].nbytes == req["seg_feats"].nbytes // 4
+
+    replay = loaded(enc)  # pre-encoded (wire-compact) request
+    live_dq = pred(_dequant_host(enc))
+    np.testing.assert_allclose(
+        replay["scores"], live_dq["scores"], rtol=1e-5, atol=1e-5
+    )
+    # auto-encode convenience: raw f32 request gives the identical result
+    auto = loaded(req)
+    np.testing.assert_array_equal(auto["scores"], replay["scores"])
+    # and quantization error stays small end-to-end vs the f32 live path
+    live = pred(req)
+    scale = np.abs(live["scores"]).max() + 1e-9
+    assert np.abs(replay["scores"] - live["scores"]).max() / scale < 0.05
+
+
+def test_export_bf16_encoding(fixture_dir, tmp_path):
+    from vog_tpu.export import encode_features
+
+    cfg, pred, glove = _predictor(fixture_dir, conc="temp")
+    path = export_predictor(pred, 2, tmp_path / "h.vogx", feature_encoding="bf16")
+    loaded = ExportedPredictor(path)
+    req = _request(cfg, glove)
+    enc = encode_features(req, "bf16")
+    assert enc["props"].nbytes == req["props"].nbytes // 2
+    replay = loaded(enc)
+    # live fed the bf16-rounded features must match the artifact tightly
+    dq = dict(req)
+    dq["props"] = enc["props"].astype(np.float32)
+    dq["seg_feats"] = enc["seg_feats"].astype(np.float32)
+    live_dq = pred(dq)
+    np.testing.assert_allclose(
+        replay["scores"], live_dq["scores"], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_export_with_tables_vid_rows(fixture_dir, tmp_path):
+    """with_tables artifact: feature tables ship inside the .vogx, the
+    request carries vid_rows only, outputs match the live device-store
+    predictor exactly."""
+    from vog_tpu.data.device_store import DeviceFeatureTables
+
+    cfg = small_cfg(fixture_dir, **{"ds.conc_type": "spat", "misc.mesh_data": 1})
+    data = get_data(cfg, cfg.train.bs)
+    glove = data.vocab.vectors
+    state = init_state(cfg, glove, jax.random.PRNGKey(0), 2)
+    ds = data.valid_dl.ds
+    tables = DeviceFeatureTables(cfg, ds.store)
+    ds.device_rows = tables.rows
+    rows_batch = next(iter(data.valid_dl))  # carries vid_rows, B=2
+    assert "vid_rows" in rows_batch
+
+    pred = Predictor(cfg, state.params, glove, tables=tables.tables)
+    path = export_predictor(pred, 2, tmp_path / "t.vogx", with_tables=True)
+    assert (path / "tables.npz").exists()
+    loaded = ExportedPredictor(path)
+    live, replay = pred(rows_batch), loaded(rows_batch)
+    np.testing.assert_allclose(
+        replay["scores"], live["scores"], rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(replay["pred_vid"], live["pred_vid"])
+    # feature-free request: payload is the metadata only
+    assert "props" not in loaded.manifest["schema"]
+    assert "vid_rows" in loaded.manifest["schema"]
+
+
+def test_export_with_tables_requires_tables(fixture_dir, tmp_path):
+    cfg, pred, glove = _predictor(fixture_dir)
+    with pytest.raises(ValueError):
+        export_predictor(pred, 2, tmp_path / "x.vogx", with_tables=True)

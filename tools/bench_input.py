@@ -16,11 +16,17 @@ device tables bf16 (misc.half_feats) — the production configuration.
 ``device`` benches the device-resident feature-table path
 (data/device_store.py): batches carry vid_rows and the feature gather
 runs inside the jitted step, so per-batch H2D drops from ~34 MB to KBs.
+``index`` adds the index-only ann store (data/ann_store.py).
+
+Env: BENCH_INPUT_N (steps), BENCH_INPUT_K (fused steps/dispatch),
+BENCH_INPUT_INLINE=1 (inline H2D instead of prefetch-worker H2D).
 
 Needs a dataset at real dims (``bash data/download_data.sh --synthetic``
-writes data/asrl).  Run ``python -c "from vog_tpu.data.featpack import
-build_featpack; build_featpack('data/asrl')"`` first to also exercise the
-packed mmap store.  Results are recorded in BASELINE.md.
+writes data/asrl).  Results are recorded in BASELINE.md.
+
+``measure()`` is the callable core — bench.py uses it to emit the
+real-data ``e2e_pairs_per_sec`` + ``mfu`` fields next to the synthetic
+headline (VERDICT r3 item #4).
 """
 
 from __future__ import annotations
@@ -29,10 +35,24 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def main():
+def measure(
+    exp: str = "gt5",
+    B: int = 16,
+    data_dir: str = "data/asrl",
+    mode: str = "index",
+    precision: str = "default",
+    K: int = 1,
+    N: int = 0,
+    inline: bool = False,
+    verbose: bool = True,
+) -> dict:
+    """Measure the real-data train path.  Returns a dict with
+    t_compute / t_e2e (s/step), stall_pct, pairs_per_sec, flops_per_step
+    (XLA cost analysis of the compiled step; None if the backend won't
+    report it), store_kind."""
     import jax
     import numpy as np
 
@@ -42,11 +62,7 @@ def main():
     from vog_tpu.train.dist import make_mesh, shard_batch
     from vog_tpu.train.state import init_state, make_train_step
 
-    exp = sys.argv[1] if len(sys.argv) > 1 else "gt5"
-    B = int(sys.argv[2]) if len(sys.argv) > 2 else (16 if exp == "gt5" else 2)
-    data_dir = sys.argv[3] if len(sys.argv) > 3 else "data/asrl"
-    mode = sys.argv[4] if len(sys.argv) > 4 else "host"
-    precision = sys.argv[5] if len(sys.argv) > 5 else "highest"
+    say = (lambda *a: print(*a, flush=True)) if verbose else (lambda *a: None)
 
     cfg = _cfg(tiny=False)
     cfg.ds.exp_setting = exp
@@ -68,7 +84,9 @@ def main():
     if dstore:
         from vog_tpu.data.device_store import DeviceFeatureTables
 
-        dft = DeviceFeatureTables(cfg, data.train_dl.ds.store, mesh, half=cfg.misc.half_feats)
+        dft = DeviceFeatureTables(
+            cfg, data.train_dl.ds.store, mesh, half=cfg.misc.half_feats
+        )
         data.train_dl.ds.device_rows = dft.rows
         tables = dft.tables
         store_kind += "+device"
@@ -77,9 +95,7 @@ def main():
         # batches shrink to 4 int32 fields/sample (data/ann_store.py)
         from vog_tpu.data.ann_store import DeviceAnnTables
 
-        dat = DeviceAnnTables(
-            cfg, {"train": data.train_dl.ds}, dft.rows, mesh
-        )
+        dat = DeviceAnnTables(cfg, {"train": data.train_dl.ds}, dft.rows, mesh)
         data.train_dl.ds.index_only = True
         data.train_dl.ds.ann_row_offset = 0
         tables = {**tables, **dat.tables}
@@ -90,17 +106,25 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     # compile + one resident batch for the compute floor
-    print("building first batch...", flush=True)
+    say("building first batch...")
     it = iter(data.train_dl)
     first = shard_batch(next(it), mesh, cfg.misc.half_feats)
-    print("compiling...", flush=True)
+    say("compiling...")
+    flops = None
+    try:
+        # per-step FLOPs as compiled (feeds the bench.py mfu field); the
+        # lowering shares the jit cache so this does not recompile
+        cost = jstep.lower(state, first, rng, tables).compile().cost_analysis()
+        if cost:
+            ca = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
     for _ in range(3):
         state, aux = step(state, first, rng)
         float(aux["loss"])
-    N = int(os.environ.get("BENCH_INPUT_N", "0")) or max(
-        20, len(data.train_dl)
-    )
-    print(f"timing compute floor ({N} steps)...", flush=True)
+    N = N or int(os.environ.get("BENCH_INPUT_N", "0")) or max(20, len(data.train_dl))
+    say(f"timing compute floor ({N} steps)...")
     t0 = time.perf_counter()
     for _ in range(N):
         state, aux = step(state, first, rng)
@@ -110,18 +134,13 @@ def main():
     # epoch-style: real batches through getitem + prefetch + shard_batch.
     # Default: shard_batch runs in the prefetch worker (loader.transform)
     # exactly as the Learner wires it, so H2D overlaps the previous step;
-    # BENCH_INPUT_INLINE=1 A/Bs the inline-transfer variant.  Loops
-    # epochs until N steps and takes the best of 2 passes (first pass
-    # warms the memoization caches + prefetch thread).
-    inline = os.environ.get("BENCH_INPUT_INLINE") == "1"
-    # BENCH_INPUT_K>1: fused multi-step dispatch (train.steps_per_dispatch
-    # equivalent) — K batches stacked into one H2D + one lax.scan dispatch
-    K = int(os.environ.get("BENCH_INPUT_K", "1"))
-    print(
+    # inline=True A/Bs the inline-transfer variant.  Loops epochs until N
+    # steps and takes the best of 2 passes (first pass warms the
+    # memoization caches + prefetch thread).
+    say(
         f"timing e2e epoch loop ({'inline' if inline else 'worker'} H2D"
         + (f", K={K} steps/dispatch" if K > 1 else "")
-        + ")...",
-        flush=True,
+        + ")..."
     )
     del it
     if K > 1:
@@ -145,6 +164,7 @@ def main():
     def one_pass():
         t0 = time.perf_counter()
         n = 0
+        aux = None
         while n < N:
             for b in data.train_dl:
                 if inline:
@@ -161,10 +181,47 @@ def main():
 
     stall = max(0.0, (t_e2e - t_compute) / t_e2e * 100.0)
     pairs = B * cfg.ds.num_cmp
+    return {
+        "exp": exp,
+        "B": B,
+        "mode": mode,
+        "precision": precision,
+        "K": K,
+        "store_kind": store_kind,
+        "t_compute": t_compute,
+        "t_e2e": t_e2e,
+        "stall_pct": stall,
+        "pairs_per_sec": pairs / t_e2e,
+        "flops_per_step": flops,
+    }
+
+
+def main():
+    exp = sys.argv[1] if len(sys.argv) > 1 else "gt5"
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else (16 if exp == "gt5" else 2)
+    data_dir = sys.argv[3] if len(sys.argv) > 3 else "data/asrl"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "host"
+    precision = sys.argv[5] if len(sys.argv) > 5 else "highest"
+    r = measure(
+        exp,
+        B,
+        data_dir,
+        mode,
+        precision,
+        K=int(os.environ.get("BENCH_INPUT_K", "1")),
+        inline=os.environ.get("BENCH_INPUT_INLINE") == "1",
+    )
     print(
-        f"{exp} B={B} store={store_kind}: compute {t_compute * 1e3:.1f} ms/step, "
-        f"e2e {t_e2e * 1e3:.1f} ms/step, host_stall {stall:.1f}%, "
-        f"e2e throughput {pairs / t_e2e:.1f} pairs/s"
+        f"{r['exp']} B={r['B']} store={r['store_kind']}: "
+        f"compute {r['t_compute'] * 1e3:.1f} ms/step, "
+        f"e2e {r['t_e2e'] * 1e3:.1f} ms/step, "
+        f"host_stall {r['stall_pct']:.1f}%, "
+        f"e2e throughput {r['pairs_per_sec']:.1f} pairs/s"
+        + (
+            f", {r['flops_per_step'] / 1e9:.1f} GF/step"
+            if r["flops_per_step"]
+            else ""
+        )
     )
 
 

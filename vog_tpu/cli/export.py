@@ -41,6 +41,10 @@ def main(argv=None):
     batch = int(overrides.pop("batch", 8))
     out = overrides.pop("out", None)
     platforms = overrides.pop("platforms", None)
+    # request compaction (VERDICT r3 #8): --encoding=bf16|int8 ships the
+    # request features 2-4x smaller; --with_tables embeds the device-store
+    # feature tables in the artifact and requests carry vid_rows only
+    encoding = overrides.pop("encoding", "f32")
     yml = overrides.pop("cfg", None)
     cfg = get_default_cfg(yml)
     update_from_dict(cfg, overrides)
@@ -60,25 +64,55 @@ def main(argv=None):
 
     data = get_data(cfg, cfg.train.bs)
     glove = data.vocab.vectors
+    with_tables = "with_tables" in flags
+    tables = None
+    if with_tables:
+        from vog_tpu.data.device_store import DeviceFeatureTables
+        from vog_tpu.train.dist import make_mesh
+
+        dft = DeviceFeatureTables(
+            cfg,
+            data.train_dl.ds.store,
+            make_mesh(cfg),
+            half=cfg.misc.half_feats,
+            int8=cfg.misc.int8_feats,
+        )
+        tables = dft.tables
     if "random_init" in flags:
         state = init_state(cfg, glove, jax.random.PRNGKey(0), batch)
-        pred = Predictor(cfg, state.params, glove)
+        pred = Predictor(cfg, state.params, glove, tables=tables)
     else:
         ckpt = Path(cfg.misc.tmp_path) / "models" / uid / tag
-        pred = Predictor.from_checkpoint(cfg, glove, ckpt)
+        pred = Predictor.from_checkpoint(cfg, glove, ckpt, tables=tables)
 
     out = Path(out) if out else Path(cfg.misc.tmp_path) / "exports" / f"{uid}.vogx"
     plats = tuple(platforms.split(",")) if platforms else None
-    path = export_predictor(pred, batch, out, platforms=plats)
+    path = export_predictor(
+        pred,
+        batch,
+        out,
+        platforms=plats,
+        feature_encoding=encoding,
+        with_tables=with_tables,
+    )
     size = sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
     print(f"exported {path} ({size / 1e6:.1f} MB, batch={batch})", flush=True)
 
-    # self-check: artifact vs live predictor on one random request
+    # self-check: artifact vs live predictor on one random request (built
+    # at the canonical f32 schema; ExportedPredictor auto-encodes, so any
+    # residual diff is the quantization error of the chosen encoding)
     rng = np.random.default_rng(0)
-    spec = request_spec(cfg, batch)
+    spec = request_spec(cfg, batch, vid_rows=with_tables)
     req = {}
     for k, s in spec.items():
-        if np.issubdtype(s.dtype, np.floating):
+        if k == "vid_rows":
+            n_rows = int(next(iter(tables.values())).shape[0])
+            req[k] = (
+                rng.integers(0, n_rows, s.shape).astype(s.dtype)
+                if n_rows
+                else np.zeros(s.shape, s.dtype)
+            )
+        elif np.issubdtype(s.dtype, np.floating):
             req[k] = rng.normal(scale=0.3, size=s.shape).astype(s.dtype)
         elif k == "tokens":
             req[k] = rng.integers(1, len(glove), s.shape).astype(s.dtype)

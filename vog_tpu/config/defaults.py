@@ -210,6 +210,9 @@ class MiscCfg:
     tensorboard_dir: str = ""
     profile_steps: int = 5  # steps to capture per epoch when profiling
     check_nans: bool = True  # raise on non-finite loss at log points
+    # terminal progress bars (reference trainer parity: tqdm/fastprogress);
+    # auto = only when stderr is a TTY, so redirected runs stay clean
+    progress: str = "auto"  # auto | on | off
     checkify: bool = False  # wrap train step with jax checkify NaN/div guards
     multihost: bool = False  # jax.distributed.initialize() before mesh setup
     # persistent XLA compilation cache: compiled executables serialize to

@@ -15,12 +15,21 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 
-def build_cs_dict(annotations: Sequence[dict]) -> Dict[str, List[int]]:
+def build_cs_dict(
+    annotations: Sequence[dict], max_partners: int = 0, seed: int = 0
+) -> Dict[str, List[int]]:
     """ann_idx -> candidate partner ann_idxs (same verb lemma, or sharing an
     arg lemma as fallback), excluding self and same-video entries.
 
     Reference: ``contrastive_sampling.py §create_similar_lists`` [C-MED
     symbol].  Keys are stringified ints (json round-trip safe).
+
+    ``max_partners`` (>0): cap each candidate list to a seeded random
+    subset.  At reference cardinality (~40k queries over a small verb
+    vocabulary) the uncapped lists are O(queries-per-verb) each — ~100M
+    ints of JSON for the 28k-query synthetic train split (round-4 scale
+    rehearsal cliff) — while the group sampler only ever draws 3
+    partners; a few hundred candidates preserve sampling diversity.
     """
     by_verb: Dict[str, List[int]] = {}
     by_arg: Dict[str, List[int]] = {}
@@ -44,6 +53,10 @@ def build_cs_dict(annotations: Sequence[dict]) -> Dict[str, List[int]]:
                     if j != i and annotations[j]["vid_seg"] != vid and j not in seen:
                         seen.add(j)
                         cands.append(j)
+        if max_partners and len(cands) > max_partners:
+            rng = np.random.default_rng(seed + i)
+            idx = rng.choice(len(cands), size=max_partners, replace=False)
+            cands = [cands[j] for j in sorted(idx.tolist())]
         out[str(i)] = cands
     return out
 

@@ -217,10 +217,225 @@ def generate_fixture(
     return out_dir
 
 
+def generate_scaled(
+    out_dir: str | Path,
+    n_train_segs: int = 10500,
+    n_valid_segs: int = 3750,
+    n_test_segs: int = 750,
+    queries_per_seg: float = 2.7,
+    num_frms: int = 10,
+    num_props: int = 5,
+    prop_dim: int = 2048,
+    seg_dim: int = 3072,
+    glove_dim: int = 300,
+    h5_dtype: str = "float16",
+    max_partners: int = 200,
+    seed: int = 0,
+    verbose: bool = True,
+) -> Path:
+    """Reference-cardinality synthetic ASRL (round-4 dress rehearsal,
+    VERDICT r3 item #2): ~15k segments / ~40k queries at the defaults —
+    the SURVEY §0 scale — with MULTIPLE queries per segment (the real
+    ASRL property ``generate_fixture`` lacks) and a vectorized per-video
+    inner loop so P100 at 15k segments generates in minutes, not hours.
+
+    ``h5_dtype='float16'`` halves the on-disk RoI table (P100 at 15k segs:
+    62 GB vs 125 GB f32 — the f32 table wouldn't fit this host's disk);
+    readers upcast on load so everything downstream stays f32.  Same
+    learnability recipe as ``generate_fixture``: object/verb latent
+    directions in proposal/segment features.  ``max_partners`` caps the
+    cs_dict candidate lists (see ``build_cs_dict``).
+    """
+    out_dir = Path(out_dir)
+    (out_dir / "seg_feats").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    h5dt = np.dtype(h5_dtype)
+
+    words = sorted(set(OBJECTS + VERBS + FILLER))
+    glove = {w: rng.normal(size=glove_dim).astype(np.float32) for w in words}
+    for w in glove:
+        glove[w] /= np.linalg.norm(glove[w])
+    with open(out_dir / "glove.txt", "w") as f:
+        for w, v in glove.items():
+            f.write(w + " " + " ".join(f"{x:.5f}" for x in v) + "\n")
+
+    obj_mat = rng.normal(size=(len(OBJECTS), prop_dim)).astype(np.float32)
+    obj_mat /= np.linalg.norm(obj_mat, axis=1, keepdims=True)
+    verb_mat = rng.normal(size=(len(VERBS), seg_dim)).astype(np.float32)
+    oid = {o: i for i, o in enumerate(OBJECTS)}
+
+    splits = {"train": n_train_segs, "valid": n_valid_segs, "test": n_test_segs}
+    vid_dims: Dict[str, List[int]] = {}
+    h5f = h5py.File(out_dir / "roi_feats.h5", "w")
+    ann_idx_global = 0
+    F, P = num_frms, num_props
+
+    for split, n in splits.items():
+        anns: List[dict] = []
+        for i in range(n):
+            vid_seg = f"{split[:2]}{i:05d}_s00"
+            w, h = int(rng.integers(400, 800)), int(rng.integers(300, 600))
+            vid_dims[vid_seg] = [w, h]
+            verb_i = int(rng.integers(len(VERBS)))
+            verb = VERBS[verb_i]
+
+            # poisson-ish query count around queries_per_seg, >= 1
+            nq = max(1, int(rng.poisson(queries_per_seg)))
+            # collect every query's (object, frame) GT demands, then
+            # assign proposal slots per frame round-robin (capped at P)
+            slot_used = np.zeros(F, np.int64)
+            gt_entries: List[Tuple[int, int, int]] = []  # (frame, slot, obj)
+            queries = []
+            for _ in range(nq):
+                n_args = int(rng.integers(1, len(TEMPLATE_ROLES) + 1))
+                objs = list(rng.choice(OBJECTS, size=n_args, replace=False))
+                tokens = ["the", objs[0], verb]
+                spans = [[1, 1]]
+                if n_args >= 2:
+                    tokens += ["the", objs[1]]
+                    spans.append([4, 4])
+                if n_args >= 3:
+                    tokens += ["near", "the", objs[2]]
+                    spans.append([len(tokens) - 1, len(tokens) - 1])
+                args_meta = []
+                for a, (o, role) in enumerate(zip(objs, TEMPLATE_ROLES[:n_args])):
+                    n_f = int(rng.integers(1, 3))
+                    frames = sorted(
+                        rng.choice(F, size=n_f, replace=False).tolist()
+                    )
+                    placed = []
+                    for fr in frames:
+                        if slot_used[fr] < P:
+                            placed.append((fr, int(slot_used[fr])))
+                            gt_entries.append((fr, int(slot_used[fr]), oid[o]))
+                            slot_used[fr] += 1
+                        else:  # frame's GT slots exhausted (real data has
+                            placed.append((fr, -1))  # unmatched GT too)
+                    args_meta.append((o, role, spans[a], placed))
+                queries.append((tokens, args_meta))
+
+            # ---- vectorized video tensors -------------------------------
+            feats = rng.standard_normal((F, P, prop_dim), np.float32) * 0.3
+            # distractor object directions on ~50% of slots (vectorized)
+            dmask = rng.uniform(size=(F, P)) < 0.5
+            dobj = rng.integers(0, len(OBJECTS), size=(F, P))
+            feats += 2.0 * dmask[..., None] * obj_mat[dobj]
+            # random boxes for every slot (vectorized _rand_box)
+            x1 = rng.uniform(0, w * 0.6, (F, P)).astype(np.float32)
+            y1 = rng.uniform(0, h * 0.6, (F, P)).astype(np.float32)
+            bw = rng.uniform(w * 0.15, w * 0.4, (F, P)).astype(np.float32)
+            bh = rng.uniform(h * 0.15, h * 0.4, (F, P)).astype(np.float32)
+            boxes_arr = np.stack(
+                [x1, y1, np.minimum(x1 + bw, w - 1), np.minimum(y1 + bh, h - 1)],
+                axis=-1,
+            )
+            scores = rng.uniform(0.1, 1.0, size=(F, P)).astype(np.float32)
+
+            # GT-covering slots: persistent per-object track + jitter; the
+            # slot's feature carries the object direction (learnable), its
+            # box overlaps the GT, and distractor contamination is removed
+            obj_track = {
+                obj: _rand_box(rng, w, h)
+                for obj in {o for _, _, o in gt_entries}
+            }
+            gt_boxes_for_ann: Dict[Tuple[int, int], np.ndarray] = {}
+            for fr, sl, o in gt_entries:
+                gt = _jitter_box(rng, obj_track[o], w, h, 0.05)
+                gt_boxes_for_ann[(fr, sl)] = gt
+                boxes_arr[fr, sl] = _jitter_box(rng, gt, w, h, 0.08)
+                feats[fr, sl] = (
+                    rng.standard_normal(prop_dim).astype(np.float32) * 0.3
+                    + 2.0 * obj_mat[o]
+                )
+            # distractors accidentally overlapping any GT -> corner box
+            # (vectorized iou per frame over its gt set)
+            by_frame: Dict[int, List[np.ndarray]] = {}
+            for (fr, sl), gt in gt_boxes_for_ann.items():
+                by_frame.setdefault(fr, []).append(gt)
+            for fr, gts in by_frame.items():
+                n_gt = int(slot_used[fr])
+                if n_gt >= P:
+                    continue
+                dists = boxes_arr[fr, n_gt:]
+                ious = iou_matrix(dists, np.stack(gts))
+                bad = (ious >= 0.5).any(axis=1)
+                boxes_arr[fr, n_gt:][bad] = np.array(
+                    [0, 0, w * 0.05, h * 0.05], np.float32
+                )
+
+            g = h5f.create_group(vid_seg)
+            g.create_dataset("feats", data=feats.astype(h5dt))
+            g.create_dataset("boxes", data=boxes_arr.astype(np.float32))
+            g.create_dataset("scores", data=scores)
+            seg = rng.standard_normal((F, seg_dim), np.float32) * 0.3
+            seg += verb_mat[verb_i][None, :]
+            np.save(out_dir / "seg_feats" / f"{vid_seg}.npy", seg.astype(h5dt))
+
+            # ---- annotation records (one per query) ---------------------
+            for tokens, args_meta in queries:
+                args = []
+                for o, role, span, placed in args_meta:
+                    boxes_json = []
+                    for fr, sl in placed:
+                        if sl >= 0:
+                            gt = gt_boxes_for_ann[(fr, sl)]
+                        else:  # unmatched GT: a real box, no proposal hit
+                            gt = _jitter_box(rng, obj_track.get(
+                                o, _rand_box(rng, w, h)), w, h, 0.05)
+                        boxes_json.append(
+                            {"frame": int(fr), "box": gt.tolist()}
+                        )
+                    args.append(
+                        {"role": role, "span": span, "lemma": o,
+                         "boxes": boxes_json}
+                    )
+                anns.append(
+                    {
+                        "ann_idx": ann_idx_global,
+                        "vid_seg": vid_seg,
+                        "tokens": tokens,
+                        "verb_idx": 2,
+                        "verb_lemma": verb,
+                        "args": args,
+                    }
+                )
+                ann_idx_global += 1
+            if verbose and (i + 1) % 1000 == 0:
+                print(f"  {split}: {i + 1}/{n} segments", flush=True)
+
+        with open(out_dir / f"anns_{split}.jsonl", "w") as f:
+            for a in anns:
+                f.write(json.dumps(a) + "\n")
+        cs = build_cs_dict(anns, max_partners=max_partners, seed=seed)
+        with open(out_dir / f"cs_dict_{split}.json", "w") as f:
+            json.dump(cs, f)
+        if verbose:
+            print(f"{split}: {n} segments, {len(anns)} queries", flush=True)
+
+    h5f.close()
+    with open(out_dir / "vid_dims.json", "w") as f:
+        json.dump(vid_dims, f)
+    return out_dir
+
+
 if __name__ == "__main__":
     import sys
 
-    out = sys.argv[1] if len(sys.argv) > 1 else "tests/fixtures/mini_asrl"
-    np_props = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    generate_fixture(out, num_props=np_props)
-    print(f"wrote fixture to {out}")
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaled":
+        # python -m vog_tpu.data.fixtures --scaled <out> [num_props] [scale]
+        out = sys.argv[2]
+        np_props = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+        scale = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
+        generate_scaled(
+            out,
+            n_train_segs=int(10500 * scale),
+            n_valid_segs=int(3750 * scale),
+            n_test_segs=int(750 * scale),
+            num_props=np_props,
+        )
+        print(f"wrote scaled fixture to {out}")
+    else:
+        out = sys.argv[1] if len(sys.argv) > 1 else "tests/fixtures/mini_asrl"
+        np_props = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+        generate_fixture(out, num_props=np_props)
+        print(f"wrote fixture to {out}")

@@ -255,6 +255,13 @@ def _fused_head_bwd(interpret, res, g):
             jax.ShapeDtypeStruct((1, 1), jnp.float32),  # db2
         ],
         interpret=interpret,
+        # Mosaic's default 16 MB scoped-vmem budget rejects this kernel at
+        # exactly block-aligned T (measured on v5e: T=1024/2048 fail at
+        # 18.4 MB scoped while padded shapes like T=4000->4096 compile —
+        # the unpadded operands change the scheduler's buffering); the
+        # working set genuinely fits, so raise the budget instead of
+        # distorting the tiling
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(visp, arg, wvp, wl, wx, w1, b1.reshape(1, Dh), w2.reshape(1, Dh),
       b2.reshape(1, 1), gt)
     dvis, darg, dwv, dwl, dwx, dw1, db1, dw2, db2 = outs

@@ -572,6 +572,9 @@ class Learner:
     def _fit_loop(
         self, epochs: int, cfg, smooth, metrics: Dict, skip: int, host_step: int
     ) -> Dict:
+        from vog_tpu.train.progress import ProgressBar, progress_enabled
+
+        show_bar = progress_enabled(cfg.misc.progress) and self._is_main
         for ep_i in range(epochs):
             t0 = time.time()
             n_seen = 0
@@ -579,6 +582,12 @@ class Learner:
             self.data.train_dl.start_batch = skip
             it_pos = skip  # batch index; a multi dispatch advances it by K
             unit_idx = 0  # dispatch-unit counter (== batch idx when K=1)
+            bar = ProgressBar(
+                len(self.data.train_dl),
+                desc=f"ep {self.epoch}",
+                enabled=show_bar,
+            )
+            bar.n = skip
             for batch in self.data.train_dl:
                 i = it_pos  # first batch index covered by this dispatch
                 kb = (
@@ -608,10 +617,14 @@ class Learner:
                 host_step += kb
                 it_pos += kb
                 unit_idx += 1
+                # no loss in the postfix here: fetching it would force a
+                # device sync per dispatch; it appears at log points below
+                bar.update(kb)
                 if getattr(self, "_preempted", False):
                     # graceful preemption: checkpoint at batch granularity
                     # and leave — resume replays from exactly here
                     # (tests/test_preempt.py asserts bit-identity)
+                    bar.close("preempted")
                     self.log(
                         f"SIGTERM: saving at ep {self.epoch} batch "
                         f"{self.batch_in_epoch} and exiting fit()"
@@ -649,6 +662,7 @@ class Learner:
                             )
                     for v in lo:
                         smooth.add_value(float(v))
+                    bar.update(0, loss=loss, smooth=smooth.smooth)
                     self.log(
                         f"ep {self.epoch} it {it_pos - 1} loss {loss:.4f} "
                         f"smooth {smooth.smooth:.4f}"
@@ -662,6 +676,7 @@ class Learner:
                 jax.profiler.stop_trace()
             dt = time.time() - t0
             pairs = n_seen * self.cfg.ds.num_cmp
+            bar.close(f"{pairs / max(dt, 1e-9):.0f} pairs/s")
             # eval cadence: every eval_every epochs + always the last, so
             # fit() returns real metrics (reference validates every epoch)
             do_eval = (
