@@ -196,7 +196,9 @@ def _extras() -> dict:
             sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
             from bench_input import measure
 
-            K = int(os.environ.get("BENCH_E2E_K", "8"))
+            # K=16 with N=96: 6 full dispatch groups, never a short tail
+            # group (a short group would retrace the scan at a new K)
+            K = int(os.environ.get("BENCH_E2E_K", "16"))
             r = measure(
                 "gt5", BATCH, data_dir, "index", "default", K=K,
                 N=int(os.environ.get("BENCH_E2E_N", "96")), verbose=False,

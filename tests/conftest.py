@@ -96,3 +96,69 @@ def fixture_dir_big(tmp_path_factory):
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# two-tier suite (VERDICT r3 item #7): the node ids below are the heavy
+# tail measured on the reference 1-core host (full-suite --durations=0,
+# 2026-08-19, threshold >= 8 s incl. setup/teardown; at least one test per
+# module always stays unmarked so `pytest -m "not slow"` still covers
+# every module).  tests/test_srl_golden.py marks itself slow at module
+# level (fine-tune loop).  Regenerate after large suite changes by
+# re-running the suite with --durations=0 and rebuilding this list.
+SLOW_NODE_IDS = {
+    "tests/test_ann_store.py::test_learner_fit_identical_with_ann_store",
+    "tests/test_ann_store.py::test_multi_dispatch_with_ann_store",
+    "tests/test_ann_store.py::test_train_step_loss_identical",
+    "tests/test_attention.py::test_bwd_no_bias",
+    "tests/test_attention.py::test_bwd_parity",
+    "tests/test_attention.py::test_bwd_parity_multiblock",
+    "tests/test_decomposed_mm.py::test_decomposed_equals_materialized[1]",
+    "tests/test_decomposed_mm.py::test_vognet_decomposed_forward_and_grads",
+    "tests/test_device_store.py::test_learner_device_store_e2e",
+    "tests/test_device_store.py::test_learner_sharded_store_e2e",
+    "tests/test_device_store.py::test_sharded_train_step_loss_identical",
+    "tests/test_device_store.py::test_train_step_loss_identical",
+    "tests/test_dist.py::test_dp_equals_single_device_loss",
+    "tests/test_dist.py::test_train_step_on_mesh[mesh_shape0]",
+    "tests/test_eval.py::test_compact_pair_payload_matches_full_grid",
+    "tests/test_export.py::test_export_bf16_encoding",
+    "tests/test_export.py::test_export_with_tables_vid_rows",
+    "tests/test_grad_accum.py::test_grad_accum_changes_vs_plain_step",
+    "tests/test_grad_accum.py::test_grad_accum_learner_e2e",
+    "tests/test_grad_accum.py::test_grad_accum_matches_manual",
+    "tests/test_graft_entry.py::test_dryrun_in_process_on_full_mesh",
+    "tests/test_graft_entry.py::test_dryrun_subprocess_bootstrap",
+    "tests/test_head_kernel.py::test_head_kernel_grad_parity",
+    "tests/test_int8_store.py::test_learner_int8_store_e2e",
+    "tests/test_misc_flags.py::test_profiler_trace_written",
+    "tests/test_misc_flags.py::test_skip_nonfinite_learner_run_continues",
+    "tests/test_mm_attention.py::test_bwd_parity",
+    "tests/test_mm_attention.py::test_bwd_parity_multiblock",
+    "tests/test_mm_attention.py::test_fwd_parity[shape1]",
+    "tests/test_models.py::test_dropout_changes_train_forward",
+    "tests/test_models.py::test_forward_shapes[svsq-vid_grnd]",
+    "tests/test_models.py::test_forward_shapes[svsq-vog]",
+    "tests/test_models.py::test_frozen_glove_gets_no_grad",
+    "tests/test_models.py::test_grads_finite_and_nonzero[img_grnd]",
+    "tests/test_models.py::test_grads_finite_and_nonzero[vog]",
+    "tests/test_multi_dispatch.py::test_eval_batches_per_dispatch_identical",
+    "tests/test_multi_dispatch.py::test_multi_dispatch_bit_identical",
+    "tests/test_multi_dispatch.py::test_multi_dispatch_disabled_under_checkify",
+    "tests/test_multi_dispatch.py::test_multi_dispatch_mid_epoch_crash_resume_bit_identical",
+    "tests/test_multi_dispatch.py::test_multi_dispatch_nan_aborts_at_boundary",
+    "tests/test_multi_dispatch.py::test_multi_dispatch_nan_containment",
+    "tests/test_multi_dispatch.py::test_multi_dispatch_with_device_store_and_guard",
+    "tests/test_preempt.py::test_preempt_mid_epoch_resume_bit_identical",
+    "tests/test_preempt.py::test_tensorboard_mirror",
+    "tests/test_ring_attention.py::test_vognet_forward_and_grads_sp_parity",
+    "tests/test_train_smoke.py::test_crash_resume_equals_uninterrupted",
+    "tests/test_train_smoke.py::test_train_learns_and_writes_artifacts",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("[")[0]
+        if item.nodeid in SLOW_NODE_IDS or base in SLOW_NODE_IDS:
+            item.add_marker(pytest.mark.slow)

@@ -80,13 +80,19 @@ def gen(num_props: int, out: str) -> None:
 def store() -> None:
     """Streamed int8 row-sharded P100 table build on the 8-device mesh +
     one sharded-gather train step for correctness at full cardinality."""
+    # env JAX_PLATFORMS alone does not stick (the axon site hook re-pins
+    # it); the config update is authoritative.  XLA_FLAGS must still be in
+    # the environment before backend init — set it if the caller forgot.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
     import jax
 
+    jax.config.update("jax_platforms", "cpu")
     if jax.device_count() < 8:
-        raise SystemExit(
-            "run with JAX_PLATFORMS=cpu "
-            "XLA_FLAGS=--xla_force_host_platform_device_count=8"
-        )
+        raise SystemExit("CPU mesh bootstrap failed (need 8 virtual devices)")
     import numpy as np
 
     from __graft_entry__ import _glove
@@ -101,7 +107,7 @@ def store() -> None:
     cfg.train.bs = 8  # global batch over the 8-way data mesh
     mesh = make_mesh(cfg)
     data = get_data(cfg, cfg.train.bs)
-    n_videos = len(data.train_dl.ds.store.vids)
+    n_videos = len(data.train_dl.ds.store.videos())
 
     t0 = time.perf_counter()
     dft = DeviceFeatureTables(

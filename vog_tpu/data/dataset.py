@@ -62,9 +62,18 @@ class FeatureStore:
     Reference parity: per-batch h5 reads in DataLoader workers were the
     reference's host I/O hot path (SURVEY §3.3); we preload at fixture
     scale and keep lazy reads for the real dataset.
+
+    ``preload="auto"`` (default) preloads only when the upcast-to-f32
+    table fits ``VOG_PRELOAD_BUDGET_GB`` (default 24): at reference P100
+    cardinality (15k segments, round-4 dress rehearsal) the f32 table is
+    ~125 GB — an unconditional preload OOMs the host (VERDICT r3 item #2
+    cliff).  Past the budget, reads stay lazy h5 (the device store /
+    featpack paths are the production answer at that scale anyway).
     """
 
-    def __init__(self, data_dir: str | Path, preload: bool = True):
+    def __init__(self, data_dir: str | Path, preload: bool | str = "auto"):
+        import os
+
         self.data_dir = Path(data_dir)
         self.h5_path = self.data_dir / "roi_feats.h5"
         self.seg_dir = self.data_dir / "seg_feats"
@@ -72,6 +81,9 @@ class FeatureStore:
             self.vid_dims: Dict[str, List[int]] = json.load(f)
         self._h5: Optional[h5py.File] = None
         self._cache: Dict[str, tuple] = {}
+        if preload == "auto":
+            budget = float(os.environ.get("VOG_PRELOAD_BUDGET_GB", "24")) * 1e9
+            preload = self._f32_bytes_estimate() <= budget
         if preload:
             with h5py.File(self.h5_path, "r") as h5:
                 for k in h5.keys():
@@ -81,6 +93,22 @@ class FeatureStore:
                         np.asarray(h5[k]["scores"], np.float32),
                         np.load(self.seg_dir / f"{k}.npy").astype(np.float32),
                     )
+
+    def _f32_bytes_estimate(self) -> int:
+        """Upcast-to-f32 RAM cost of a full preload, from ONE h5 group's
+        dtypes + the file sizes (cheap: no data reads)."""
+        import os
+
+        h5_bytes = os.path.getsize(self.h5_path)
+        seg_bytes = sum(
+            e.stat().st_size for e in os.scandir(self.seg_dir)
+        ) if self.seg_dir.is_dir() else 0
+        factor = 1
+        with h5py.File(self.h5_path, "r") as h5:
+            for k in h5.keys():
+                factor = max(1, 4 // h5[k]["feats"].dtype.itemsize)
+                break
+        return (h5_bytes + seg_bytes) * factor
 
     def get(self, vid_seg: str) -> tuple:
         """-> (feats (F,P,D), boxes_abs (F,P,4), scores (F,P), seg (F,Dv))."""

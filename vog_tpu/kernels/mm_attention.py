@@ -189,7 +189,7 @@ def _bwd_dkv_kernel(qm_ref, km_ref, vm_ref, e_ref, et_ref, mask_ref, fbc_ref,
     dv_ref[0] += dv_acc
     dk_ref[0] += _dot(ds, qm_ref[0], contract=((0,), (0,)))
     # DS layout is (BH, Tq, Tk); the out index_map swaps (j, i) -> (i, j)
-    ds_ref[0] = ds
+    ds_ref[0] = ds.astype(ds_ref.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -325,7 +325,16 @@ def _mm_attn_bwd(interpret, res, g):
             jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
             jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
             jax.ShapeDtypeStruct((BH, A, Tp), jnp.float32),
-            jax.ShapeDtypeStruct((BH, Tp, Tp), jnp.float32),
+            # bf16 ds emit at on-chip default precision (same rationale as
+            # kernels/attention.py: the consuming GEMMs round to bf16 on
+            # the MXU anyway; halves the (T,T) HBM round-trip).  f32 at
+            # highest precision and in interpret-mode parity tests.
+            jax.ShapeDtypeStruct(
+                (BH, Tp, Tp),
+                jnp.float32
+                if interpret or _precision() == jax.lax.Precision.HIGHEST
+                else jnp.bfloat16,
+            ),
         ],
         interpret=interpret,
     )(qf, kf, vf, ef, et, mk, fbc, fid, gf, mrow, den, delta)
