@@ -105,3 +105,30 @@ def test_fully_masked_rows_are_finite():
     mask = mask.at[0, :].set(0.0)  # everything masked
     out = flash_attention(q, k, v, mask, fb, fids, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("mode", ["emit", "recompute"])
+def test_bwd_mode_parity(mode):
+    """Both backward strategies (emit the (T,T) score-grad to HBM vs the
+    recompute-in-VMEM second kernel) produce the same gradients, incl. the
+    multiblock path and the frame-bias grad."""
+    q, k, v, mask, fb, fids = _mk(11, B=1, H=2, T=300, dh=16, F=10)
+    g = jnp.asarray(
+        np.random.default_rng(12).normal(size=(1, 2, 300, 16)).astype(np.float32)
+    )
+
+    def loss_ref(q, k, v, fb):
+        return jnp.sum(xla_attention(q, k, v, mask, fb, fids) * g)
+
+    def loss_flash(q, k, v, fb):
+        return jnp.sum(
+            flash_attention(q, k, v, mask, fb, fids, interpret=True, bwd_mode=mode)
+            * g
+        )
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, fb)
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, fb)
+    for a, b, name in zip(gf, gr, ("dq", "dk", "dv", "dbias")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3, err_msg=name
+        )

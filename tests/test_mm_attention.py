@@ -86,3 +86,31 @@ def test_bwd_parity_multiblock():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3, err_msg=name
         )
+
+
+@pytest.mark.parametrize("mode", ["emit", "recompute"])
+def test_bwd_mode_parity(mode):
+    """Both backward strategies (emit ds to HBM vs recompute-in-VMEM dq+dfb
+    kernel) match the XLA math, incl. the multiblock path."""
+    qm, km, vm, e, mask, fb, fids = _mk(9, B=1, H=1, A=2, T=300, dh=8)
+    g = jnp.asarray(
+        np.random.default_rng(10).normal(size=(1, 1, 2, 300, 8)).astype(np.float32)
+    )
+
+    def lk(qm, km, vm, e, fb):
+        return jnp.sum(
+            mm_shared_qk_attention(
+                qm, km, vm, e, mask, fb, fids, interpret=True, bwd_mode=mode
+            )
+            * g
+        )
+
+    def lr(qm, km, vm, e, fb):
+        return jnp.sum(xla_ref(qm, km, vm, e, mask, fb, fids) * g)
+
+    gk = jax.grad(lk, argnums=(0, 1, 2, 3, 4))(qm, km, vm, e, fb)
+    gr = jax.grad(lr, argnums=(0, 1, 2, 3, 4))(qm, km, vm, e, fb)
+    for a, b, name in zip(gk, gr, ("dqm", "dkm", "dvm", "de", "dfb")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3, err_msg=name
+        )

@@ -60,6 +60,20 @@ def main():
     print(f"T={T} fwd+bwd: pallas {bench(jax.jit(gp), q, k, v, fb):.2f} ms | "
           f"xla {bench(jax.jit(gx), q, k, v, fb):.2f} ms", flush=True)
 
+    # backward-strategy comparison (VERDICT r3 item #5b): emit the (T,T)
+    # score-grad to HBM + XLA GEMMs vs recompute-in-VMEM second kernel.
+    # Grad w.r.t. ALL inputs so both kernels' full work is on the clock.
+    for mode in ("emit", "recompute"):
+        def gm(q, k, v, fb, _m=mode):
+            def l(args):
+                q, k, v, fb = args
+                return jnp.sum(
+                    flash_attention(q, k, v, mask, fb, fids, bwd_mode=_m) ** 2
+                )
+            return jax.grad(l)((q, k, v, fb))[0]
+        print(f"T={T} fwd+bwd[{mode}]: {bench(jax.jit(gm), q, k, v, fb):.2f} ms",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -16,13 +16,14 @@ Design (SURVEY §7 hard part #2):
     whose q rows share one frame, e.g. 3/4 of P100-SPAT blocks) or a
     one-hot (bq,F)·(F,bk) matmul for frame-crossing blocks.  The (T, T)
     token-level bias never exists anywhere.
-  * Backward is ONE fully-blocked Pallas kernel (dk/dv over grid
-    (BH, nk, nq)) that recomputes the probability tiles from the forward
-    logsumexp and also emits the masked score-grad tiles ds; dq and the
-    frame-bias grad then run as plain XLA GEMMs over ds.  (The round-1
-    version used a second dq kernel with its own s/p/dp recompute — at
-    fp32-highest the 6-pass matmul recompute costs more than the (T, T)
-    HBM round-trip of ds, measured on both this and the mm kernel.)
+  * Backward is TWO fully-blocked Pallas kernels by default ("recompute"
+    mode): dk/dv over grid (BH, nk, nq), then a dq+dfb kernel over
+    (BH, nq, nk) that re-derives the probability/score-grad tiles from
+    the forward logsumexp in VMEM — the (T, T) score-grad never touches
+    HBM.  The alternative "emit" mode (VOG_FLASH_BWD=emit / bwd_mode=)
+    writes masked ds tiles and finishes dq/dfb as XLA GEMMs; measured
+    slower at both precisions with this kernel split (BASELINE.md
+    §recompute-vs-emit) and it allocates a (BH,Tp,Tp) HBM buffer.
   * Padding: T is padded to the block (128 fwd / 512 bwd long-seq), head
     dim to the 128-lane tile; masked lanes use a finite -1e30 so
     fully-masked rows stay NaN free; frame ids are edge-padded to keep
@@ -161,38 +162,92 @@ def _block_tile(fid_ref, mask_ref, fbc_ref, qi, ki, scale, n_frames, bq, bk,
     return p, ds, ds_m
 
 
-def _bwd_dkv_kernel(
+def _make_bwd_dkv_kernel(emit_ds: bool):
+    """dk/dv backward kernel over grid (BH, nk, nq), i innermost.
+
+    emit_ds=True ("emit" mode): the masked score-grad tile ds is ALSO
+    written to HBM; dq (= scale · ds @ k) and the frame-bias grad
+    (= onehot_f^T ds onehot_f) then run as plain XLA GEMMs over ds.
+
+    emit_ds=False ("recompute" mode, the default at every precision): only
+    dk/dv are produced here and a second kernel (`_bwd_dq_kernel`)
+    recomputes the tiles to accumulate dq and the frame-bias grad in
+    VMEM — no (T,T) tensor ever touches HBM.  Measured faster than emit
+    at both bf16 and fp32-highest on-chip (VERDICT r3 weak #6 / item
+    #5b; table in BASELINE.md §recompute-vs-emit) and it frees the
+    (BH,Tp,Tp) HBM buffer that capped P100 batch headroom.
+    """
+
+    def kernel(
+        q_ref, k_ref, v_ref, mask_ref, fbc_ref, fid_ref, do_ref, lse_ref,
+        delta_ref, *out_refs, scale, n_frames, bq, bk
+    ):
+        dk_ref, dv_ref = out_refs[0], out_refs[1]
+        ki = pl.program_id(1)
+        i = pl.program_id(2)
+        p, ds, ds_m = _block_tile(
+            fid_ref, mask_ref, fbc_ref, i, ki, scale, n_frames, bq, bk,
+            q_ref[0], k_ref[0], lse_ref[0], do_ref[0], v_ref[0], delta_ref[0],
+        )
+
+        @pl.when(i == 0)
+        def _():
+            dk_ref[0] = jnp.zeros_like(dk_ref[0])
+            dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+        dv_ref[0] += _dot(p, do_ref[0], contract=((0,), (0,)))  # (bk, dh)
+        dk_ref[0] += _dot(ds, q_ref[0], contract=((0,), (0,))) * scale  # (bk, dh)
+        if emit_ds:
+            # DS layout is (BH, Tq, Tk); the out index_map swaps
+            # (ki, i) -> (i, ki).  ds_m == ds wherever p > 0 (masked keys
+            # have p = 0), so dq from ds_m is exact; dfb needs the masked
+            # form.  At default precision ds is emitted bf16 (the ref
+            # dtype): the consuming GEMMs round operands to bf16 on the
+            # MXU anyway, so this halves the (T, T) HBM round-trip for
+            # free (at highest precision the ref stays f32).
+            out_refs[2][0] = ds_m.astype(out_refs[2].dtype)
+
+    return kernel
+
+
+_bwd_dkv_kernel = _make_bwd_dkv_kernel(True)
+_bwd_dkv_noemit_kernel = _make_bwd_dkv_kernel(False)
+
+
+def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, mask_ref, fbc_ref, fid_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref, ds_ref, *, scale, n_frames, bq, bk
+    dq_ref, dfb_ref, *, scale, n_frames, bq, bk, fp_r, fp_c
 ):
-    # grid (BH, nk, nq); i = innermost; dk/dv accumulate over i.
-    # The masked score-grad tile ds is ALSO emitted: dq (= scale · ds @ k)
-    # and the frame-bias grad (= onehot_f^T ds onehot_f) then run as plain
-    # XLA GEMMs — this deletes the former dq kernel, whose per-tile s/p/dp
-    # recompute at fp32-highest (6-pass matmuls) cost more than the (T,T)
-    # HBM round-trip of ds.  (A single-pass merge is not expressible:
-    # Pallas output blocks must not be revisited non-consecutively.)
-    ki = pl.program_id(1)
-    i = pl.program_id(2)
+    # Recompute-mode companion of the no-emit dkv kernel: grid (BH, nq, nk)
+    # with j innermost; dq accumulates over j and the per-(B·H) frame-bias
+    # grad accumulates over all (i, j) — its output block is revisited only
+    # consecutively (b is the outermost grid axis), which Pallas allows.
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     p, ds, ds_m = _block_tile(
-        fid_ref, mask_ref, fbc_ref, i, ki, scale, n_frames, bq, bk,
+        fid_ref, mask_ref, fbc_ref, i, j, scale, n_frames, bq, bk,
         q_ref[0], k_ref[0], lse_ref[0], do_ref[0], v_ref[0], delta_ref[0],
     )
 
-    @pl.when(i == 0)
+    @pl.when(j == 0)
     def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
 
-    dv_ref[0] += _dot(p, do_ref[0], contract=((0,), (0,)))  # (bk, dh)
-    dk_ref[0] += _dot(ds, q_ref[0], contract=((0,), (0,))) * scale  # (bk, dh)
-    # DS layout is (BH, Tq, Tk); the out index_map swaps (ki, i) -> (i, ki).
-    # ds_m == ds wherever p > 0 (masked keys have p = 0), so dq from ds_m
-    # is exact; dfb needs the masked form.  At default precision ds is
-    # emitted bf16 (the ref dtype): the consuming GEMMs round operands to
-    # bf16 on the MXU anyway, so this halves the (T, T) HBM round-trip for
-    # free (at highest precision the ref stays f32 and nothing changes).
-    ds_ref[0] = ds_m.astype(ds_ref.dtype)
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dfb_ref[0] = jnp.zeros_like(dfb_ref[0])
+
+    dq_ref[0] += _dot(ds_m, k_ref[0], contract=((1,), (0,))) * scale  # (bq, dh)
+    # frame-bias grad tile: onehot_q^T @ ds_m @ onehot_k, padded to the
+    # (fp_r, fp_c) register tile (rows %8, lanes %128); sliced back in XLA
+    fq = fid_ref[pl.ds(i * bq, bq), 0]  # (bq,)
+    fk = fid_ref[pl.ds(j * bk, bk), 0]  # (bk,)
+    f_r = jax.lax.broadcasted_iota(jnp.int32, (1, fp_r), 1)
+    f_c = jax.lax.broadcasted_iota(jnp.int32, (1, fp_c), 1)
+    oq = (fq[:, None] == f_r).astype(jnp.float32)  # (bq, fp_r)
+    ok = (fk[:, None] == f_c).astype(jnp.float32)  # (bk, fp_c)
+    t = _dot(ds_m, ok, contract=((1,), (0,)))  # (bq, fp_c)
+    dfb_ref[0] += _dot(oq, t, contract=((0,), (0,)))  # (fp_r, fp_c)
 
 
 # --------------------------------------------------------------------------
@@ -269,24 +324,24 @@ def _flash_impl(q, k, v, key_mask, frame_bias, frame_ids, interpret):
 
 # key_mask and frame_ids are data (can be tracers) so they must be regular
 # diff args with zero cotangents; frame_ids travels as float32 to avoid
-# float0 int-cotangent plumbing.  Only `interpret` (a static bool) is a
-# nondiff argnum.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _flash(q, k, v, key_mask, frame_bias, frame_ids_f, interpret):
+# float0 int-cotangent plumbing.  `interpret` (a static bool) and
+# `bwd_mode` ("emit" | "recompute") are nondiff argnums.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _flash(q, k, v, key_mask, frame_bias, frame_ids_f, interpret, bwd_mode):
     o, _ = _flash_impl(
         q, k, v, key_mask, frame_bias, frame_ids_f.astype(jnp.int32), interpret
     )
     return o
 
 
-def _flash_fwd(q, k, v, key_mask, frame_bias, frame_ids_f, interpret):
+def _flash_fwd(q, k, v, key_mask, frame_bias, frame_ids_f, interpret, bwd_mode):
     o, res = _flash_impl(
         q, k, v, key_mask, frame_bias, frame_ids_f.astype(jnp.int32), interpret
     )
     return o, res + (key_mask, frame_ids_f)
 
 
-def _flash_bwd(interpret, res, g):
+def _flash_bwd(interpret, bwd_mode, res, g):
     *res, key_mask_in, frame_ids_f = res
     res = tuple(res)
     qf, kf, vf, mk, fb, fid, out, lse, dims = res
@@ -304,63 +359,116 @@ def _flash_bwd(interpret, res, g):
     fullm3 = lambda b, i, j: (b // H, 0, 0)
     fullb = lambda b, i, j: (b % H, 0, 0)
     fullfid = lambda b, i, j: (0, 0)
+    emit = bwd_mode != "recompute"
 
-    # grid (BH, nk, nq): i innermost; dk/dv accumulate over i; ds emitted
-    dk, dv, ds = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, n_frames=Fn, bq=blk, bk=blk),
-        grid=(BH, nk, nq),
-        in_specs=[
-            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tp), fullm3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Fn, Tp), fullb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tp, 1), fullfid, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, blk), lambda b, j, i: (b, i, j), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
-            jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
-            # bf16 ds at default precision on-chip: 2x less HBM traffic
-            # for the emit + the two consuming GEMMs, no extra rounding vs
-            # what the bf16 MXU already does to its operands (VERDICT r3
-            # weak #6 revisit; parity: verify_kernels default thresholds).
-            # Interpret mode keeps f32 — it exists to check exact math
-            # (CPU matmuls are true f32 there, so bf16 would only blur the
-            # parity tests).
+    in_specs = [
+        pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Tp), fullm3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Fn, Tp), fullb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((Tp, 1), fullfid, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+    ]
+    dkv_out_specs = [
+        pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+    ]
+    dkv_out_shape = [
+        jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
+        jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
+    ]
+    if emit:
+        # DS layout (BH, Tq, Tk); the out index_map swaps (ki, i) -> (i, ki).
+        dkv_out_specs.append(
+            pl.BlockSpec((1, blk, blk), lambda b, j, i: (b, i, j), memory_space=pltpu.VMEM)
+        )
+        # bf16 ds at default precision on-chip: 2x less HBM traffic for the
+        # emit + the two consuming GEMMs, no extra rounding vs what the bf16
+        # MXU already does to its operands (VERDICT r3 weak #6 revisit;
+        # parity: verify_kernels default thresholds).  Interpret mode keeps
+        # f32 — it exists to check exact math (CPU matmuls are true f32
+        # there, so bf16 would only blur the parity tests).
+        dkv_out_shape.append(
             jax.ShapeDtypeStruct(
                 (BH, Tp, Tp),
                 jnp.float32
                 if interpret or _precision() == jax.lax.Precision.HIGHEST
                 else jnp.bfloat16,
-            ),
-        ],
+            )
+        )
+
+    # grid (BH, nk, nq): i innermost; dk/dv accumulate over i
+    dkv_out = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel if emit else _bwd_dkv_noemit_kernel,
+            scale=scale, n_frames=Fn, bq=blk, bk=blk,
+        ),
+        grid=(BH, nk, nq),
+        in_specs=in_specs,
+        out_specs=dkv_out_specs,
+        out_shape=dkv_out_shape,
         interpret=interpret,
     )(qf, kf, vf, mk, fb, fid, do, lse, delta)
 
     def unpad(x):
         return x.reshape(B, H, Tp, dp)[:, :, :T, :dh]
 
-    # dq and the frame-bias grad from the emitted ds tiles (plain GEMMs)
-    prec = _precision()
-    dq = jnp.einsum("bij,bjd->bid", ds, kf, precision=prec) * scale
     fid_flat = fid[:, 0]  # (Tp,)
-    onehot = (
-        fid_flat[:, None] == jnp.arange(Fn, dtype=fid_flat.dtype)[None, :]
-    ).astype(jnp.float32)  # (Tp, F)
-    dfb_per = jnp.einsum(
-        "fi,bij,jg->bfg", onehot.T, ds, onehot, precision=prec
-    )  # (BH, F, F)
-    dfb = dfb_per.reshape(B, H, Fn, Fn).sum(axis=0)  # (H,F,F)
+    if emit:
+        dk, dv, ds = dkv_out
+        # dq and the frame-bias grad from the emitted ds tiles (plain GEMMs)
+        prec = _precision()
+        dq = jnp.einsum("bij,bjd->bid", ds, kf, precision=prec) * scale
+        onehot = (
+            fid_flat[:, None] == jnp.arange(Fn, dtype=fid_flat.dtype)[None, :]
+        ).astype(jnp.float32)  # (Tp, F)
+        dfb_per = jnp.einsum(
+            "fi,bij,jg->bfg", onehot.T, ds, onehot, precision=prec
+        )  # (BH, F, F)
+        dfb = dfb_per.reshape(B, H, Fn, Fn).sum(axis=0)  # (H,F,F)
+        dq = unpad(dq)
+    else:
+        dk, dv = dkv_out
+        # second kernel recomputes the tiles for dq + dfb — the (T,T)
+        # score-grad never leaves VMEM (wins at bf16 where matmul passes
+        # are cheap and HBM bytes are not; see BASELINE.md)
+        fp_r = _round_up(Fn, 8)
+        fp_c = _round_up(Fn, LANE)
+        dq_f, dfb_per = pl.pallas_call(
+            functools.partial(
+                _bwd_dq_kernel, scale=scale, n_frames=Fn, bq=blk, bk=blk,
+                fp_r=fp_r, fp_c=fp_c,
+            ),
+            grid=(BH, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, Tp), fullm3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Fn, Tp), fullb, memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tp, 1), fullfid, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, fp_r, fp_c), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
+                jax.ShapeDtypeStruct((BH, fp_r, fp_c), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qf, kf, vf, mk, fb, fid, do, lse, delta)
+        dq = unpad(dq_f)
+        dfb = dfb_per[:, :Fn, :Fn].reshape(B, H, Fn, Fn).sum(axis=0)
+
     return (
-        unpad(dq),
+        dq,
         unpad(dk),
         unpad(dv),
         jnp.zeros_like(key_mask_in),
@@ -372,6 +480,30 @@ def _flash_bwd(interpret, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _resolve_bwd_mode(mode: Optional[str]) -> str:
+    """Backward strategy: "emit" writes the (T,T) score-grad to HBM and
+    finishes dq/dfb as XLA GEMMs; "recompute" runs a second kernel that
+    re-derives the tiles in VMEM.  Default ("auto", overridable via
+    VOG_FLASH_BWD): recompute at BOTH precisions — measured on-chip at
+    P100 shape (T=4000, BH=8; BASELINE.md §recompute-vs-emit): 3.53 vs
+    4.02 ms at default/bf16 and 9.95 vs 11.08 ms at highest, and it
+    removes the (BH,Tp,Tp) HBM allocation (537 MB f32 / 268 MB bf16 at
+    P100) that capped batch headroom.  Round-1's opposite finding was an
+    artifact of the old two-kernel design: its dq kernel duplicated the
+    full tile recompute AND the emit mode's consuming GEMMs are
+    themselves 6-pass at highest — the shared-tile dq+dfb kernel flips
+    the tradeoff at every precision."""
+    import os
+
+    if mode is None or mode == "auto":
+        mode = os.environ.get("VOG_FLASH_BWD", "auto")
+    if mode == "auto":
+        mode = "recompute"
+    if mode not in ("emit", "recompute"):
+        raise ValueError(f"bad flash bwd_mode {mode!r}")
+    return mode
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -380,6 +512,7 @@ def flash_attention(
     frame_bias: Optional[jnp.ndarray] = None,
     frame_ids: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
+    bwd_mode: Optional[str] = None,
 ) -> jnp.ndarray:
     """Fused attention.  q,k,v (B,H,T,dh); key_mask (B,T);
     frame_bias (H,F,F) or None; frame_ids (T,) token->frame map."""
@@ -399,4 +532,5 @@ def flash_attention(
         frame_bias,
         jnp.asarray(frame_ids).astype(jnp.float32),
         interpret,
+        _resolve_bwd_mode(bwd_mode),
     )

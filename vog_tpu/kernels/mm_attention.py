@@ -26,13 +26,17 @@ round-1 profile).  This kernel is a flash-style rewrite:
     ``kernels/attention.py``; the backward recomputes w tiles from the
     saved row max (softmax shift invariance makes treating the max as a
     constant exact) and the saved per-arg denominators.
-  * The backward is ONE kernel (dk/dv/de) that also EMITS the score-grad
-    tiles ds; dq (= ds @ km) and the frame-bias grad (= onehot^T ds
-    onehot) then run as plain XLA GEMMs.  A second kernel recomputing
-    w/gv per tile was measured 31% slower at fp32-highest — at 6-pass
-    matmul precision, recompute costs ~6x more than the (T,T) HBM
-    round-trip it avoids.  (Pallas cannot express the single-pass merge:
-    output blocks must not be revisited non-consecutively.)
+  * The backward default is ONE kernel (dk/dv/de) that also EMITS the
+    score-grad tiles ds; dq (= ds @ km) and the frame-bias grad
+    (= onehot^T ds onehot) then run as plain XLA GEMMs.  A "recompute"
+    mode (VOG_MM_BWD / bwd_mode=) adds a second dq+dfb kernel instead,
+    keeping the (T,T) score-grad out of HBM — measured SLOWER here at
+    both precisions (unlike kernels/attention.py, whose recompute only
+    re-derives 2 cheap passes: the mm tile recompute must redo the
+    (A·bq, dh) gv stack), so it exists for memory-capped batch sizes;
+    numbers in BASELINE.md §recompute-vs-emit.  (Pallas cannot express
+    the single-pass merge: output blocks must not be revisited
+    non-consecutively.)
 
 Measured (TPU v5e, P100 shapes B=2 H=4 A=5 T=4000, fp32-highest):
 isolated op fwd+bwd 28.98 ms vs 28.73 XLA materialized; in-model P100
@@ -138,17 +142,82 @@ def _gv_stack(g_blk, vm_blk, A, bq):
     return _dot(gf, vm_blk)  # (A*bq, bk)
 
 
-def _bwd_dkv_kernel(qm_ref, km_ref, vm_ref, e_ref, et_ref, mask_ref, fbc_ref,
-                    fid_ref, g_ref, m_ref, den_ref, delta_ref,
-                    dk_ref, dv_ref, de_ref, ds_ref, *, n_args, n_frames, blk):
-    # grid (BH, nk, nq); i innermost: dk/dv/de accumulate over i.
-    # The score grad ds is ALSO emitted per tile: dq (= ds @ km) and the
-    # frame-bias grad (= onehot_f^T ds onehot_f) then run as plain XLA
-    # GEMMs on the host side — this deletes the whole second bwd kernel,
-    # whose per-tile w/gv recompute (~1/3 of the backward FLOPs at
-    # fp32-highest) outweighed the (T,T) HBM round-trip it avoided.
-    j = pl.program_id(1)
-    i = pl.program_id(2)
+def _make_bwd_dkv_kernel(emit_ds: bool):
+    """dk/dv/de backward kernel over grid (BH, nk, nq), i innermost.
+
+    emit_ds=True: the score-grad tile ds is ALSO written to HBM; dq
+    (= ds @ km) and the frame-bias grad (= onehot^T ds onehot) then run
+    as plain XLA GEMMs.  emit_ds=False ("recompute"): a second kernel
+    (`_bwd_dq_kernel`) re-derives w/gv/ds per tile to accumulate dq and
+    dfb in VMEM — no (T,T) tensor in HBM.  Mode choice + measurements:
+    BASELINE.md §recompute-vs-emit (same analysis as kernels/attention)."""
+
+    def kernel(qm_ref, km_ref, vm_ref, e_ref, et_ref, mask_ref, fbc_ref,
+               fid_ref, g_ref, m_ref, den_ref, delta_ref,
+               *out_refs, n_args, n_frames, blk):
+        dk_ref, dv_ref, de_ref = out_refs[0], out_refs[1], out_refs[2]
+        j = pl.program_id(1)
+        i = pl.program_id(2)
+        A = n_args
+        mask_k = mask_ref[0, 0, pl.ds(j * blk, blk)]
+        bias_t = _bias_block(fbc_ref, fid_ref, i, blk, j * blk, blk, n_frames)
+        w = _tile_w(qm_ref[0], km_ref[0], bias_t, mask_k, m_ref[0])
+        gv = _gv_stack(g_ref[0], vm_ref[0], A, blk)  # (A*bq, bk)
+        e_rows = e_ref[0]  # (A, bk)
+        den = den_ref[0]  # (bq, A)
+        delta = delta_ref[0]  # (bq, A)
+
+        @pl.when(i == 0)
+        def _():
+            dk_ref[0] = jnp.zeros_like(dk_ref[0])
+            dv_ref[0] = jnp.zeros_like(dv_ref[0])
+            de_ref[0] = jnp.zeros_like(de_ref[0])
+
+        comb = jnp.zeros_like(w)
+        gs = []
+        for a in range(A):
+            inv_d = 1.0 / jnp.maximum(den[:, a : a + 1], 1e-30)  # (bq, 1)
+            term = gv[a * blk : (a + 1) * blk] - delta[:, a : a + 1]  # (bq, bk)
+            wd = w * inv_d
+            comb = comb + (term * inv_d) * e_rows[a][None, :]
+            gs.append(g_ref[0, a] * inv_d)  # inv_d-scaled grad stream (bq, dh)
+            de_ref[0, a] += jnp.sum(wd * term, axis=0)  # (bk,)
+        ds = w * comb
+        ds = jnp.where(mask_k[None, :] > 0, ds, 0.0)
+
+        # dv = Σ_a p_a^T g_a = Σ_a e_a ∘ (w^T (inv_d_a ∘ g_a)): batch the A
+        # scaled streams along columns -> ONE (bk, bq) @ (bq, A·dh) GEMM,
+        # then per-arg key-side e scaling on the outputs (VPU)
+        gs_wide = jnp.concatenate(gs, axis=1)  # (bq, A*dh)
+        u_wide = _dot(w, gs_wide, contract=((0,), (0,)))  # (bk, A*dh)
+        dh = gs[0].shape[-1]
+        et = et_ref[0]  # (bk, A) — e as sublane columns for the row scaling
+        dv_acc = jnp.zeros_like(dv_ref[0])
+        for a in range(A):
+            dv_acc = dv_acc + u_wide[:, a * dh : (a + 1) * dh] * et[:, a : a + 1]
+        dv_ref[0] += dv_acc
+        dk_ref[0] += _dot(ds, qm_ref[0], contract=((0,), (0,)))
+        if emit_ds:
+            # DS layout (BH, Tq, Tk); the out index_map swaps (j, i) -> (i, j)
+            out_refs[3][0] = ds.astype(out_refs[3].dtype)
+
+    return kernel
+
+
+_bwd_dkv_kernel = _make_bwd_dkv_kernel(True)
+_bwd_dkv_noemit_kernel = _make_bwd_dkv_kernel(False)
+
+
+def _bwd_dq_kernel(qm_ref, km_ref, vm_ref, e_ref, mask_ref, fbc_ref, fid_ref,
+                   g_ref, m_ref, den_ref, delta_ref,
+                   dq_ref, dfb_ref, *, n_args, n_frames, blk, fp_r, fp_c):
+    # Recompute-mode companion (grid (BH, nq, nk), j innermost): re-derives
+    # the w/gv/ds tiles in VMEM to accumulate dq over j and the per-(B·H)
+    # frame-bias grad over all (i, j) — the (T,T) score-grad never touches
+    # HBM.  Output-block revisits are consecutive (b outermost), as Pallas
+    # requires.
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     A = n_args
     mask_k = mask_ref[0, 0, pl.ds(j * blk, blk)]
     bias_t = _bias_block(fbc_ref, fid_ref, i, blk, j * blk, blk, n_frames)
@@ -157,39 +226,31 @@ def _bwd_dkv_kernel(qm_ref, km_ref, vm_ref, e_ref, et_ref, mask_ref, fbc_ref,
     e_rows = e_ref[0]  # (A, bk)
     den = den_ref[0]  # (bq, A)
     delta = delta_ref[0]  # (bq, A)
-
-    @pl.when(i == 0)
-    def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
-        de_ref[0] = jnp.zeros_like(de_ref[0])
-
     comb = jnp.zeros_like(w)
-    gs = []
     for a in range(A):
-        inv_d = 1.0 / jnp.maximum(den[:, a : a + 1], 1e-30)  # (bq, 1)
-        term = gv[a * blk : (a + 1) * blk] - delta[:, a : a + 1]  # (bq, bk)
-        wd = w * inv_d
+        inv_d = 1.0 / jnp.maximum(den[:, a : a + 1], 1e-30)
+        term = gv[a * blk : (a + 1) * blk] - delta[:, a : a + 1]
         comb = comb + (term * inv_d) * e_rows[a][None, :]
-        gs.append(g_ref[0, a] * inv_d)  # inv_d-scaled grad stream (bq, dh)
-        de_ref[0, a] += jnp.sum(wd * term, axis=0)  # (bk,)
     ds = w * comb
     ds = jnp.where(mask_k[None, :] > 0, ds, 0.0)
 
-    # dv = Σ_a p_a^T g_a = Σ_a e_a ∘ (w^T (inv_d_a ∘ g_a)): batch the A
-    # scaled streams along columns -> ONE (bk, bq) @ (bq, A·dh) GEMM, then
-    # per-arg key-side e scaling on the outputs (VPU)
-    gs_wide = jnp.concatenate(gs, axis=1)  # (bq, A*dh)
-    u_wide = _dot(w, gs_wide, contract=((0,), (0,)))  # (bk, A*dh)
-    dh = gs[0].shape[-1]
-    et = et_ref[0]  # (bk, A) — e as sublane columns for the row scaling
-    dv_acc = jnp.zeros_like(dv_ref[0])
-    for a in range(A):
-        dv_acc = dv_acc + u_wide[:, a * dh : (a + 1) * dh] * et[:, a : a + 1]
-    dv_ref[0] += dv_acc
-    dk_ref[0] += _dot(ds, qm_ref[0], contract=((0,), (0,)))
-    # DS layout is (BH, Tq, Tk); the out index_map swaps (j, i) -> (i, j)
-    ds_ref[0] = ds.astype(ds_ref.dtype)
+    @pl.when(j == 0)
+    def _():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dfb_ref[0] = jnp.zeros_like(dfb_ref[0])
+
+    dq_ref[0] += _dot(ds, km_ref[0], contract=((1,), (0,)))  # (bq, dh)
+    fq = fid_ref[pl.ds(i * blk, blk), 0]
+    fk = fid_ref[pl.ds(j * blk, blk), 0]
+    f_r = jax.lax.broadcasted_iota(jnp.int32, (1, fp_r), 1)
+    f_c = jax.lax.broadcasted_iota(jnp.int32, (1, fp_c), 1)
+    oq = (fq[:, None] == f_r).astype(jnp.float32)  # (bq, fp_r)
+    ok = (fk[:, None] == f_c).astype(jnp.float32)  # (bk, fp_c)
+    t = _dot(ds, ok, contract=((1,), (0,)))  # (bq, fp_c)
+    dfb_ref[0] += _dot(oq, t, contract=((0,), (0,)))  # (fp_r, fp_c)
 
 
 # --------------------------------------------------------------------------
@@ -262,13 +323,16 @@ def _fwd(qf, kf, vf, et, mk, fbc, fid, dims, interpret):
     return out, mrow, den
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _mm_attn(qm, km, vm, e, key_mask, frame_bias, frame_ids_f, interpret):
-    out, _ = _mm_attn_fwd(qm, km, vm, e, key_mask, frame_bias, frame_ids_f, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _mm_attn(qm, km, vm, e, key_mask, frame_bias, frame_ids_f, interpret, bwd_mode):
+    out, _ = _mm_attn_fwd(
+        qm, km, vm, e, key_mask, frame_bias, frame_ids_f, interpret, bwd_mode
+    )
     return out
 
 
-def _mm_attn_fwd(qm, km, vm, e, key_mask, frame_bias, frame_ids_f, interpret):
+def _mm_attn_fwd(qm, km, vm, e, key_mask, frame_bias, frame_ids_f, interpret,
+                 bwd_mode):
     qf, kf, vf, et, mk, fbc, fid, dims = _prep(
         qm, km, vm, e, key_mask, frame_bias, frame_ids_f.astype(jnp.int32)
     )
@@ -279,7 +343,7 @@ def _mm_attn_fwd(qm, km, vm, e, key_mask, frame_bias, frame_ids_f, interpret):
     return o, res
 
 
-def _mm_attn_bwd(interpret, res, g):
+def _mm_attn_bwd(interpret, bwd_mode, res, g):
     (qf, kf, vf, et, mk, fbc, fid, out, mrow, den, dims,
      key_mask_in, frame_ids_f) = res
     B, H, A, T, dh, Tp, dp, blk, Fn = dims
@@ -297,9 +361,40 @@ def _mm_attn_bwd(interpret, res, g):
     blk = min(blk, 256)
     nq = nk = Tp // blk
     V = pltpu.VMEM
+    emit = bwd_mode != "recompute"
 
-    dk, dv, de, ds = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, n_args=A, n_frames=Fn, blk=blk),
+    dkv_out_specs = [
+        pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=V),
+        pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=V),
+        pl.BlockSpec((1, A, blk), lambda b, j, i: (b, 0, j), memory_space=V),
+    ]
+    dkv_out_shape = [
+        jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
+        jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
+        jax.ShapeDtypeStruct((BH, A, Tp), jnp.float32),
+    ]
+    if emit:
+        dkv_out_specs.append(
+            pl.BlockSpec((1, blk, blk), lambda b, j, i: (b, i, j), memory_space=V)
+        )
+        # bf16 ds emit at on-chip default precision (same rationale as
+        # kernels/attention.py: the consuming GEMMs round to bf16 on the
+        # MXU anyway; halves the (T,T) HBM round-trip).  f32 at highest
+        # precision and in interpret-mode parity tests.
+        dkv_out_shape.append(
+            jax.ShapeDtypeStruct(
+                (BH, Tp, Tp),
+                jnp.float32
+                if interpret or _precision() == jax.lax.Precision.HIGHEST
+                else jnp.bfloat16,
+            )
+        )
+
+    dkv_out = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel if emit else _bwd_dkv_noemit_kernel,
+            n_args=A, n_frames=Fn, blk=blk,
+        ),
         grid=(BH, nk, nq),
         in_specs=[
             pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, i, 0), memory_space=V),
@@ -315,48 +410,68 @@ def _mm_attn_bwd(interpret, res, g):
             pl.BlockSpec((1, blk, A), lambda b, j, i: (b, i, 0), memory_space=V),
             pl.BlockSpec((1, blk, A), lambda b, j, i: (b, i, 0), memory_space=V),
         ],
-        out_specs=[
-            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=V),
-            pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=V),
-            pl.BlockSpec((1, A, blk), lambda b, j, i: (b, 0, j), memory_space=V),
-            pl.BlockSpec((1, blk, blk), lambda b, j, i: (b, i, j), memory_space=V),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
-            jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
-            jax.ShapeDtypeStruct((BH, A, Tp), jnp.float32),
-            # bf16 ds emit at on-chip default precision (same rationale as
-            # kernels/attention.py: the consuming GEMMs round to bf16 on
-            # the MXU anyway; halves the (T,T) HBM round-trip).  f32 at
-            # highest precision and in interpret-mode parity tests.
-            jax.ShapeDtypeStruct(
-                (BH, Tp, Tp),
-                jnp.float32
-                if interpret or _precision() == jax.lax.Precision.HIGHEST
-                else jnp.bfloat16,
-            ),
-        ],
+        out_specs=dkv_out_specs,
+        out_shape=dkv_out_shape,
         interpret=interpret,
     )(qf, kf, vf, ef, et, mk, fbc, fid, gf, mrow, den, delta)
 
     def unpad3(x):
         return x.reshape(B, H, Tp, dp)[:, :, :T, :dh]
 
-    # dq and the frame-bias grad from the emitted ds tiles — plain GEMMs
-    # (precision matches the kernels so parity holds at 'highest')
-    prec = _precision()
-    dq = jnp.einsum("bij,bjd->bid", ds, kf, precision=prec)
     fid_flat = fid[:, 0]  # (Tp,)
-    onehot = (
-        fid_flat[:, None] == jnp.arange(Fn, dtype=fid_flat.dtype)[None, :]
-    ).astype(jnp.float32)  # (Tp, F)
-    dfb_per = jnp.einsum(
-        "fi,bij,jg->bfg", onehot.T, ds, onehot, precision=prec
-    )  # (BH, F, F)
-    dfb = dfb_per.reshape(B, H, Fn, Fn).sum(axis=0)  # (H,F,F)
+    if emit:
+        dk, dv, de, ds = dkv_out
+        # dq and the frame-bias grad from the emitted ds tiles — plain GEMMs
+        # (precision matches the kernels so parity holds at 'highest')
+        prec = _precision()
+        dq = jnp.einsum("bij,bjd->bid", ds, kf, precision=prec)
+        onehot = (
+            fid_flat[:, None] == jnp.arange(Fn, dtype=fid_flat.dtype)[None, :]
+        ).astype(jnp.float32)  # (Tp, F)
+        dfb_per = jnp.einsum(
+            "fi,bij,jg->bfg", onehot.T, ds, onehot, precision=prec
+        )  # (BH, F, F)
+        dfb = dfb_per.reshape(B, H, Fn, Fn).sum(axis=0)  # (H,F,F)
+        dq = unpad3(dq)
+    else:
+        dk, dv, de = dkv_out
+        fp_r = _round_up(Fn, 8)
+        fp_c = _round_up(Fn, LANE)
+        dq_f, dfb_per = pl.pallas_call(
+            functools.partial(
+                _bwd_dq_kernel, n_args=A, n_frames=Fn, blk=blk,
+                fp_r=fp_r, fp_c=fp_c,
+            ),
+            grid=(BH, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=V),
+                pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, j, 0), memory_space=V),
+                pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, j, 0), memory_space=V),
+                pl.BlockSpec((1, A, blk), lambda b, i, j: (b, 0, j), memory_space=V),
+                pl.BlockSpec((1, 1, Tp), lambda b, i, j: (b // H, 0, 0), memory_space=V),
+                pl.BlockSpec((1, Fn, Tp), lambda b, i, j: (b % H, 0, 0), memory_space=V),
+                pl.BlockSpec((Tp, 1), lambda b, i, j: (0, 0), memory_space=V),
+                pl.BlockSpec((1, A, blk, dp), lambda b, i, j: (b, 0, i, 0), memory_space=V),
+                pl.BlockSpec((1, blk, 1), lambda b, i, j: (b, i, 0), memory_space=V),
+                pl.BlockSpec((1, blk, A), lambda b, i, j: (b, i, 0), memory_space=V),
+                pl.BlockSpec((1, blk, A), lambda b, i, j: (b, i, 0), memory_space=V),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, blk, dp), lambda b, i, j: (b, i, 0), memory_space=V),
+                pl.BlockSpec((1, fp_r, fp_c), lambda b, i, j: (b, 0, 0), memory_space=V),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((BH, Tp, dp), jnp.float32),
+                jax.ShapeDtypeStruct((BH, fp_r, fp_c), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qf, kf, vf, ef, mk, fbc, fid, gf, mrow, den, delta)
+        dq = unpad3(dq_f)
+        dfb = dfb_per[:, :Fn, :Fn].reshape(B, H, Fn, Fn).sum(axis=0)
+
     de_out = de.reshape(B, H, A, Tp)[:, :, :, :T]
     return (
-        unpad3(dq),
+        dq,
         unpad3(dk),
         unpad3(dv),
         de_out,
@@ -369,6 +484,28 @@ def _mm_attn_bwd(interpret, res, g):
 _mm_attn.defvjp(_mm_attn_fwd, _mm_attn_bwd)
 
 
+def _resolve_mm_bwd_mode(mode: Optional[str]) -> str:
+    """Backward strategy (see `_make_bwd_dkv_kernel`): "emit" vs
+    "recompute", default via VOG_MM_BWD / auto.  Auto = EMIT — the
+    opposite of kernels/attention.py, and for a measured reason
+    (BASELINE.md §recompute-vs-emit): the mm recompute must redo the
+    (A·bq, dh) @ (dh, bk) gv stack per tile (A+1 extra MXU passes per
+    (T,T) element vs flash's 2), which costs more than the ds HBM
+    round-trip at every precision — full P100 step 31.3 ms emit vs
+    33.9 ms recompute at default, 85.2 vs 92.7 at highest.  Recompute
+    stays available for memory-capped cases: it frees the (BH,Tp,Tp)
+    HBM buffer (537 MB f32 / 268 MB bf16 at P100 B=2)."""
+    import os
+
+    if mode is None or mode == "auto":
+        mode = os.environ.get("VOG_MM_BWD", "auto")
+    if mode == "auto":
+        mode = "emit"
+    if mode not in ("emit", "recompute"):
+        raise ValueError(f"bad mm bwd_mode {mode!r}")
+    return mode
+
+
 def mm_shared_qk_attention(
     qm: jnp.ndarray,  # (B,H,T,dh) — caller folds the 1/sqrt(dh) scale in
     km: jnp.ndarray,
@@ -378,6 +515,7 @@ def mm_shared_qk_attention(
     frame_bias: jnp.ndarray,  # (H,F,F) relative-frame bias table
     frame_ids: jnp.ndarray,  # (T,)
     interpret: Optional[bool] = None,
+    bwd_mode: Optional[str] = None,
 ) -> jnp.ndarray:
     """-> (B,H,A,T,dh)."""
     if interpret is None:
@@ -391,4 +529,5 @@ def mm_shared_qk_attention(
         frame_bias.astype(jnp.float32),
         jnp.asarray(frame_ids).astype(jnp.float32),
         interpret,
+        _resolve_mm_bwd_mode(bwd_mode),
     )
