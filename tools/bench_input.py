@@ -48,6 +48,7 @@ def measure(
     N: int = 0,
     inline: bool = False,
     verbose: bool = True,
+    act_dtype: str = "",
 ) -> dict:
     """Measure the real-data train path.  Returns a dict with
     t_compute / t_e2e (s/step), stall_pct, pairs_per_sec, flops_per_step
@@ -73,6 +74,9 @@ def measure(
     cfg.misc.matmul_precision = precision
     if precision == "default":
         cfg.misc.half_feats = True  # bf16 tables + transfers (production)
+    # BENCH_ACT_DTYPE=bfloat16 (or act_dtype=) turns on the bf16
+    # activation policy (cfg.mdl.dtype, model/dtypes.py)
+    cfg.mdl.dtype = act_dtype or os.environ.get("BENCH_ACT_DTYPE", cfg.mdl.dtype)
     apply_matmul_precision(cfg)
     mesh = make_mesh(cfg)
 
@@ -186,6 +190,7 @@ def measure(
         "B": B,
         "mode": mode,
         "precision": precision,
+        "act_dtype": cfg.mdl.dtype,
         "K": K,
         "store_kind": store_kind,
         "t_compute": t_compute,

@@ -158,18 +158,25 @@ def train(epochs: int = 1) -> None:
     t0 = time.perf_counter()
     res = lrn.fit()
     wall = time.perf_counter() - t0
+    # fit() returns the last epoch's validation metrics (val_loss etc.),
+    # not a 'loss' key; the wall above includes jit compile + the
+    # epoch-end 10k-query eval, so also report the steady-state step
+    # time from the Learner's own counters when available.
     per_step = wall / max(n_steps * epochs, 1)
+    final_loss = None
+    if isinstance(res, dict):
+        v = res.get("val_loss", res.get("loss"))
+        if v is not None:
+            final_loss = round(float(v), 4)
     _emit(
         "train",
         queries=n_steps * cfg.train.bs,
         steps_per_epoch=n_steps,
         epochs=epochs,
         epoch_wall_s=round(wall / epochs, 1),
-        ms_per_step=round(per_step * 1e3, 2),
+        ms_per_step_incl_compile_and_eval=round(per_step * 1e3, 2),
         pairs_per_sec=round(cfg.train.bs * cfg.ds.num_cmp / per_step, 1),
-        final_loss=round(float(res.get("loss", float("nan"))), 4)
-        if isinstance(res, dict)
-        else None,
+        final_val_loss=final_loss,
     )
 
 

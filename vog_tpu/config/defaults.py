@@ -97,6 +97,17 @@ class MdlCfg:
     # DDP-only backend has no analog of.
     sp_attention: bool = False
     train_embeddings: bool = False  # fine-tune GloVe
+    # activation/compute dtype of the visual + multimodal path: "float32"
+    # (parity default) or "bfloat16" (mixed precision: params, optimizer
+    # state, the BiLSTM language encoder, softmax statistics, and the
+    # loss all stay fp32; every Dense/LayerNorm computes and stores its
+    # activations in bf16).  The GT5 production step is fusion/bandwidth
+    # bound (BASELINE.md bf16 profile), so halving activation bytes is
+    # the main single-chip lever past matmul precision.  Pallas kernel
+    # inputs are cast back to fp32 at the dispatch sites (the kernels
+    # accumulate fp32 regardless; bf16 kernel operands are a possible
+    # later step).  Checkpoints are unchanged (param_dtype stays fp32).
+    dtype: str = "float32"
 
 
 @dataclass

@@ -277,10 +277,16 @@ class DeviceFeatureTables:
         )
 
 
-def gather_from_tables(batch: Dict, tables: Dict) -> Dict:
+def gather_from_tables(batch: Dict, tables: Dict, kernel: str = "auto") -> Dict:
     """Inside-jit: resolve vid_rows against the resident 2-D tables so
     the downstream path sees the canonical props/seg_feats batch schema.
-    Clip-view dims are recovered statically from prop_mask + row width."""
+    Clip-view dims are recovered statically from prop_mask + row width.
+
+    ``kernel``: "auto"|"on" route the row gather through the Pallas
+    scalar-prefetch DMA kernel (kernels/gather.py) on TPU — XLA's generic
+    gather lowering degrades with table size (measured 1.6k -> 15k rows:
+    +8 ms/step, BASELINE.md §Round-4) while the kernel's cost tracks only
+    the gathered bytes; "off" keeps jnp.take (parity/debug)."""
     import jax.numpy as jnp
 
     rows = batch["vid_rows"]  # (B, V) int32
@@ -288,16 +294,12 @@ def gather_from_tables(batch: Dict, tables: Dict) -> Dict:
     D = tables["feats"].shape[1] // (F * P)
     Dv = tables["seg"].shape[1] // F
     out = {k: v for k, v in batch.items() if k != "vid_rows"}
-    props = (
-        jnp.take(tables["feats"], rows, axis=0)
-        .reshape(B, V, F, P, D)
-        .astype(jnp.float32)
-    )
-    seg = (
-        jnp.take(tables["seg"], rows, axis=0)
-        .reshape(B, V, F, Dv)
-        .astype(jnp.float32)
-    )
+    if kernel in ("auto", "on"):
+        from vog_tpu.kernels.gather import gather_rows as _take
+    else:
+        _take = lambda t, r: jnp.take(t, r, axis=0)
+    props = _take(tables["feats"], rows).reshape(B, V, F, P, D).astype(jnp.float32)
+    seg = _take(tables["seg"], rows).reshape(B, V, F, Dv).astype(jnp.float32)
     if "feats_scale" in tables:  # int8 tables: dequantize per vector
         fs = jnp.take(tables["feats_scale"], rows, axis=0).reshape(B, V, F, P, 1)
         ss = jnp.take(tables["seg_scale"], rows, axis=0).reshape(B, V, F, 1)

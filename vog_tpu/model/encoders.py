@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vog_tpu.config import Cfg
+from vog_tpu.model.dtypes import act_dtype
 from vog_tpu.model.lstm import TorchBiLSTM
 
 
@@ -80,6 +81,10 @@ class LangEncoder(nn.Module):
             jnp.concatenate([arg_span, role_emb, verb_tiled], axis=-1)
         )
         arg_rep = nn.relu(arg_rep)
+        # the language path itself stays fp32 (the BiLSTM is parity
+        # sensitive and tiny); only the rep handed to the visual fusion
+        # follows the activation-dtype policy
+        arg_rep = arg_rep.astype(act_dtype(self.cfg))
         # NOTE: no separate query-level projection — no model variant
         # consumes one (a q rep would pool from ``y``/``h_n`` here if the
         # reference verification pass shows a head that needs it)
@@ -93,9 +98,11 @@ class PropEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, props: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
-        # features may arrive bf16 (misc.half_feats); weight math is fp32
-        x = jnp.concatenate([props.astype(jnp.float32), boxes], axis=-1)
-        x = nn.Dense(self.cfg.mdl.vis_dim, name="prop_proj")(x)
+        # features may arrive bf16 (misc.half_feats); compute follows the
+        # activation-dtype policy (fp32 parity default)
+        dt = act_dtype(self.cfg)
+        x = jnp.concatenate([props.astype(dt), boxes.astype(dt)], axis=-1)
+        x = nn.Dense(self.cfg.mdl.vis_dim, dtype=dt, name="prop_proj")(x)
         return nn.relu(x)
 
 
@@ -106,5 +113,8 @@ class SegEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, seg: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.cfg.mdl.vis_dim, name="seg_proj")(seg.astype(jnp.float32))
+        dt = act_dtype(self.cfg)
+        x = nn.Dense(self.cfg.mdl.vis_dim, dtype=dt, name="seg_proj")(
+            seg.astype(dt)
+        )
         return nn.relu(x)

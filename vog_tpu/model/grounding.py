@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vog_tpu.config import Cfg
+from vog_tpu.model.dtypes import act_dtype
 from vog_tpu.model.encoders import LangEncoder, PropEncoder, SegEncoder
 from vog_tpu.model.loss import masked_bce_loss, masked_rank_loss
 from vog_tpu.model.transformer import (
@@ -82,16 +83,29 @@ class GroundingHead(nn.Module):
         w2_k = self.param("head2_kernel", kinit, (Dh, 1))
         w2_b = self.param("head2_bias", zinit, (1,))
 
-        wv = vis @ wv_k + wv_b  # (B,T,D)
-        wl = arg @ wl_k  # (B,A,D)
+        dt = act_dtype(self.cfg)
+        # under bf16 the fusion intermediates (the step's HBM hot spot)
+        # store bf16; the params are cast per-matmul (no fp32 promote),
+        # and the returned logits are always fp32 (loss/eval contract)
+        wv = vis @ wv_k.astype(dt) + wv_b.astype(dt)  # (B,T,D)
+        wl = arg @ wl_k.astype(dt)  # (B,A,D)
         if self.use_kernel and head_kernel_supported(din, D, vis.shape[1]):
+            # kernel operands stay fp32 (see model/dtypes.py)
+            f32 = jnp.float32
             return fused_grounding_head(
-                vis, arg, wv, wl, wx_k, w1_k, w1_b, w2_k[:, 0], w2_b[0]
+                vis.astype(f32), arg.astype(f32), wv.astype(f32),
+                wl.astype(f32), wx_k, w1_k, w1_b, w2_k[:, 0], w2_b[0],
             )
         cross = jnp.einsum("btd,bad->batd", vis, arg)  # (B,A,T,D)
-        h = nn.relu(wv[:, None] + wl[:, :, None] + cross @ wx_k)
-        h1 = nn.relu(h @ w1_k + w1_b)
-        return (h1 @ w2_k)[..., 0] + w2_b[0]
+        h = nn.relu(wv[:, None] + wl[:, :, None] + cross @ wx_k.astype(dt))
+        h1 = nn.relu(h @ w1_k.astype(dt) + w1_b.astype(dt))
+        return (
+            jnp.einsum(
+                "batd,dk->batk", h1, w2_k.astype(dt),
+                preferred_element_type=jnp.float32,
+            )[..., 0]
+            + w2_b[0]
+        )
 
 
 class DotGroundingHead(nn.Module):
@@ -108,12 +122,17 @@ class DotGroundingHead(nn.Module):
     @nn.compact
     def __call__(self, vis: jnp.ndarray, arg: jnp.ndarray) -> jnp.ndarray:
         D = self.cfg.mdl.vis_dim
-        v = nn.Dense(D, name="v2")(nn.relu(nn.Dense(D, name="v1")(vis)))
-        l = nn.Dense(D, name="l2")(nn.relu(nn.Dense(D, name="l1")(arg)))
+        dt = act_dtype(self.cfg)
+        v = nn.Dense(D, dtype=dt, name="v2")(
+            nn.relu(nn.Dense(D, dtype=dt, name="v1")(vis))
+        )
+        l = nn.Dense(D, dtype=dt, name="l2")(
+            nn.relu(nn.Dense(D, dtype=dt, name="l1")(arg))
+        )
         bias = self.param("score_bias", nn.initializers.zeros, ())
-        return jnp.einsum("bad,btd->bat", l, v) / jnp.sqrt(
-            jnp.float32(D)
-        ) + bias
+        return jnp.einsum(
+            "bad,btd->bat", l, v, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.float32(D)) + bias
 
 
 class ImgGrnd(nn.Module):
@@ -200,9 +219,10 @@ class VOGNet(ImgGrnd):
         # Dense([vis;arg]) split into two halves applied pre-broadcast:
         # identical math, but the (B,A,T,2D) concat intermediate (320MB in
         # the P100 regime) never materializes — only the (B,A,T,D) sum does
-        self.mm_proj_vis = nn.Dense(self.cfg.mdl.vis_dim)
-        self.mm_proj_arg = nn.Dense(self.cfg.mdl.vis_dim, use_bias=False)
-        self.mm_head = nn.Dense(1)
+        dt = act_dtype(self.cfg)
+        self.mm_proj_vis = nn.Dense(self.cfg.mdl.vis_dim, dtype=dt)
+        self.mm_proj_arg = nn.Dense(self.cfg.mdl.vis_dim, dtype=dt, use_bias=False)
+        self.mm_head = nn.Dense(1, dtype=dt)
 
     def __call__(self, clip: Dict, deterministic: bool = True) -> jnp.ndarray:
         vis, lang = self.encode(clip, deterministic)
@@ -221,10 +241,11 @@ class VOGNet(ImgGrnd):
             key_mask = jnp.repeat(clip["mask"], A, axis=0)
             mm = self.mm_tx(tokens, key_mask, clip["frame_ids"], deterministic)
         mm = mm.reshape(B, A, T, D)
-        # direct ImgGrnd-style path + multimodal head (residual scoring)
+        # direct ImgGrnd-style path + multimodal head (residual scoring);
+        # logits are fp32 regardless of the activation dtype
         logits = self.head(vis, arg)
-        mm_logit = self.mm_head(nn.relu(mm))[..., 0]  # (B,A,T)
-        return logits + mm_logit
+        mm_logit = self.mm_head(nn.relu(mm))[..., 0].astype(jnp.float32)
+        return logits.astype(jnp.float32) + mm_logit
 
 
 MODELS = {"img_grnd": ImgGrnd, "vid_grnd": VidGrnd, "vog": VOGNet}
@@ -259,6 +280,9 @@ def compute_loss(
     ``rank_num_cmp``: for conc_type=sep pass V (videos/group) so the rank
     term re-joins the group's batch-folded rows and normalizes across all
     videos' candidates; 1 elsewhere (TEMP/SPAT span videos along T)."""
+    # the loss always runs fp32 (models emit fp32 logits even under the
+    # bf16 activation policy; this upcast is belt-and-braces)
+    logits = logits.astype(jnp.float32)
     mask = (
         clip["srl_arg_mask"][:, :, None]
         * clip["mask"][:, None, :]

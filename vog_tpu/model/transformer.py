@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vog_tpu.config import Cfg
+from vog_tpu.model.dtypes import act_dtype
 
 
 def sinusoidal_pe(positions: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -51,7 +52,12 @@ def xla_attention(
     frame_ids: Optional[jnp.ndarray] = None,  # (T,)
 ) -> jnp.ndarray:
     dh = q.shape[-1]
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(dh))
+    # logits + softmax stay fp32 under the bf16 activation policy (the QK
+    # matmul accumulates fp32; only the probability matrix is cast back
+    # for the PV matmul) — exact no-op when q/k/v are already fp32
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(dh))
     if frame_bias is not None:
         tok_bias = frame_bias[:, frame_ids][:, :, frame_ids]  # (H,T,T)
         logits = logits + tok_bias[None]
@@ -60,7 +66,10 @@ def xla_attention(
     w = jax.nn.softmax(logits, axis=-1)
     # fully-masked query rows would softmax over all -inf; key_mask always
     # has >=1 valid key in practice (frame 0 props), so no NaN guard needed
-    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", w.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
 
 
 # below this sequence length XLA's fused attention wins (kernel setup
@@ -83,6 +92,7 @@ def attention(
     installed (token axis sharded over the mesh 'model' axis), else the
     fused Pallas kernel on TPU for long sequences, else plain XLA."""
     T = q.shape[2]
+    dt = q.dtype
     if sequence_parallel:
         from vog_tpu.train.dist import sequence_parallel as _sp
 
@@ -90,13 +100,19 @@ def attention(
         if sp is not None and T % sp[0].shape[sp[1]] == 0:
             from vog_tpu.kernels.ring_attention import ring_attention
 
+            # kernel operands stay fp32 (see model/dtypes.py)
             return ring_attention(
-                q, k, v, key_mask, frame_bias, frame_ids, mesh=sp[0], axis=sp[1]
-            )
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), key_mask, frame_bias, frame_ids,
+                mesh=sp[0], axis=sp[1],
+            ).astype(dt)
     if use_pallas and T >= PALLAS_MIN_T and jax.default_backend() == "tpu":
         from vog_tpu.kernels.attention import flash_attention
 
-        return flash_attention(q, k, v, key_mask, frame_bias, frame_ids)
+        return flash_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), key_mask, frame_bias, frame_ids,
+        ).astype(dt)
     return xla_attention(q, k, v, key_mask, frame_bias, frame_ids)
 
 
@@ -110,10 +126,11 @@ class MultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(self, x, key_mask, frame_ids=None, deterministic=True):
         m = self.cfg.mdl
+        dt = act_dtype(self.cfg)
         B, T, D = x.shape
         H = m.n_heads
         dh = D // H
-        qkv = nn.Dense(3 * D, name="qkv")(x)
+        qkv = nn.Dense(3 * D, dtype=dt, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -131,7 +148,7 @@ class MultiHeadAttention(nn.Module):
             sequence_parallel=m.sp_attention,
         )
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
-        out = nn.Dense(D, name="out")(out)
+        out = nn.Dense(D, dtype=dt, name="out")(out)
         return nn.Dropout(m.dropout)(out, deterministic=deterministic)
 
 
@@ -146,10 +163,11 @@ class RelMultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(self, x, key_mask, frame_ids, deterministic=True):
         m = self.cfg.mdl
+        dt = act_dtype(self.cfg)
         B, T, D = x.shape
         H, K = m.n_heads, m.rpe_max_dist
         dh = D // H
-        qkv = nn.Dense(3 * D, name="qkv")(x)
+        qkv = nn.Dense(3 * D, dtype=dt, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, H, dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, T, H, dh).transpose(0, 2, 1, 3)
@@ -173,7 +191,7 @@ class RelMultiHeadAttention(nn.Module):
             sequence_parallel=m.sp_attention,
         )
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
-        out = nn.Dense(D, name="out")(out)
+        out = nn.Dense(D, dtype=dt, name="out")(out)
         return nn.Dropout(m.dropout)(out, deterministic=deterministic)
 
 
@@ -207,12 +225,13 @@ class DecomposedRelAttention(nn.Module):
     @nn.compact
     def __call__(self, m, g, key_mask, frame_ids, deterministic=True):
         cfgm = self.cfg.mdl
+        dt = act_dtype(self.cfg)
         B, T, D = m.shape
         A = g.shape[1]
         H, K = cfgm.n_heads, cfgm.rpe_max_dist
         dh = D // H
 
-        qkv = nn.Dense(3 * D, name="qkv")
+        qkv = nn.Dense(3 * D, dtype=dt, name="qkv")
         qm, km, vm = jnp.split(qkv(m), 3, axis=-1)  # (B,T,D)
         # the affine bias lives in the m-part; the g-part must be linear-only
         # so that qkv(m) + qkv_linear(g) == qkv(m + g)
@@ -232,38 +251,46 @@ class DecomposedRelAttention(nn.Module):
 
         scale = 1.0 / jnp.sqrt(jnp.float32(dh))
         # per-arg key reweighting: c_a[j] = qg_a·km_j (the only arg term
-        # that survives the softmax — the others are j-constant)
-        c = jnp.einsum("bhad,bhjd->bhaj", qg, km) * scale  # (B,H,A,T)
+        # that survives the softmax — the others are j-constant).  All
+        # softmax-adjacent statistics run fp32 regardless of the
+        # activation dtype (preferred_element_type upcasts the matmuls)
+        c = jnp.einsum(
+            "bhad,bhjd->bhaj", qg, km, preferred_element_type=jnp.float32
+        ) * scale  # (B,H,A,T)
         c = jnp.where(key_mask[:, None, None, :] > 0, c, 0.0)
-        e = jnp.exp(c - c.max(-1, keepdims=True))  # (B,H,A,T)
+        e = jnp.exp(c - c.max(-1, keepdims=True))  # (B,H,A,T) fp32
 
         use_kernel = (
             cfgm.mm_kernel and T >= PALLAS_MIN_T and jax.default_backend() == "tpu"
         )
         if use_kernel:
-            # fused kernel: w never materializes in HBM
+            # fused kernel: w never materializes in HBM.  Kernel operands
+            # stay fp32 (see model/dtypes.py)
             from vog_tpu.kernels.mm_attention import mm_shared_qk_attention
 
             pv = mm_shared_qk_attention(
-                qm * scale, km, vm, e, key_mask, fbias, frame_ids
+                (qm * scale).astype(jnp.float32), km.astype(jnp.float32),
+                vm.astype(jnp.float32), e, key_mask, fbias, frame_ids,
             )  # (B,H,A,T,dh)
         else:
             tok_bias = fbias[:, frame_ids][:, :, frame_ids]  # (H,T,T)
-            shared = jnp.einsum("bhid,bhjd->bhij", qm, km) * scale + tok_bias[None]
+            shared = jnp.einsum(
+                "bhid,bhjd->bhij", qm, km, preferred_element_type=jnp.float32
+            ) * scale + tok_bias[None]
             neg = jnp.finfo(shared.dtype).min
             shared = jnp.where(key_mask[:, None, None, :] > 0, shared, neg)
             w = jnp.exp(shared - shared.max(-1, keepdims=True))  # (B,H,T,T)
-            ev = e[..., None] * vm[:, :, None]  # (B,H,A,T,dh)
-            numer = jnp.einsum("bhij,bhajd->bhaid", w, ev)
+            ev = e[..., None] * vm[:, :, None].astype(jnp.float32)
+            numer = jnp.einsum("bhij,bhajd->bhaid", w.astype(ev.dtype), ev)
             denom = jnp.einsum("bhij,bhaj->bhai", w, e)
             pv = numer / jnp.maximum(denom[..., None], 1e-30)
 
         # kg enters logits only via qm_i·kg_a, constant over j -> cancels in
         # the softmax (exactly as in the materialized path); vg shifts every
         # attention output by the arg's value part since rows of P sum to 1
-        out = pv + vg[:, :, :, None]
+        out = (pv + vg[:, :, :, None].astype(pv.dtype)).astype(dt)
         out = out.transpose(0, 2, 3, 1, 4).reshape(B, A, T, D)
-        out = nn.Dense(D, name="out")(out)
+        out = nn.Dense(D, dtype=dt, name="out")(out)
         return nn.Dropout(cfgm.dropout)(out, deterministic=deterministic)
 
 
@@ -278,6 +305,7 @@ class TxLayer(nn.Module):
     @nn.compact
     def __call__(self, x, key_mask, frame_ids=None, deterministic=True):
         m = self.cfg.mdl
+        dt = act_dtype(self.cfg)
         if self.relative:
             attn = RelMultiHeadAttention(self.cfg, self.n_frames, name="attn")(
                 x, key_mask, frame_ids, deterministic
@@ -286,13 +314,13 @@ class TxLayer(nn.Module):
             attn = MultiHeadAttention(self.cfg, name="attn")(
                 x, key_mask, frame_ids, deterministic
             )
-        x = nn.LayerNorm(name="ln1")(x + attn)
+        x = nn.LayerNorm(dtype=dt, name="ln1")(x + attn)
         D = x.shape[-1]
-        h = nn.Dense(m.ff_mult * D, name="ff1")(x)
+        h = nn.Dense(m.ff_mult * D, dtype=dt, name="ff1")(x)
         h = nn.relu(h)
         h = nn.Dropout(m.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(D, name="ff2")(h)
-        return nn.LayerNorm(name="ln2")(x + h)
+        h = nn.Dense(D, dtype=dt, name="ff2")(h)
+        return nn.LayerNorm(dtype=dt, name="ln2")(x + h)
 
 
 class ObjectTransformer(nn.Module):
@@ -305,7 +333,7 @@ class ObjectTransformer(nn.Module):
     def __call__(self, vis, key_mask, frame_ids, deterministic=True):
         D = vis.shape[-1]
         pe = sinusoidal_pe(frame_ids, D)  # (T,D)
-        x = vis + pe[None]
+        x = vis + pe[None].astype(vis.dtype)
         for i in range(self.cfg.mdl.obj_tx_layers):
             x = TxLayer(self.cfg, relative=False, name=f"layer{i}")(
                 x, key_mask, frame_ids, deterministic
@@ -339,18 +367,19 @@ class DecomposedRelTxLayer(nn.Module):
     @nn.compact
     def __call__(self, m, g, key_mask, frame_ids, deterministic=True):
         cfgm = self.cfg.mdl
+        dt = act_dtype(self.cfg)
         B, T, D = m.shape
         A = g.shape[1]
         attn = DecomposedRelAttention(self.cfg, self.n_frames, name="attn")(
             m, g, key_mask, frame_ids, deterministic
         )  # (B,A,T,D)
         x = (m[:, None] + g[:, :, None] + attn).reshape(B * A, T, D)
-        x = nn.LayerNorm(name="ln1")(x)
-        h = nn.Dense(cfgm.ff_mult * D, name="ff1")(x)
+        x = nn.LayerNorm(dtype=dt, name="ln1")(x)
+        h = nn.Dense(cfgm.ff_mult * D, dtype=dt, name="ff1")(x)
         h = nn.relu(h)
         h = nn.Dropout(cfgm.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(D, name="ff2")(h)
-        return nn.LayerNorm(name="ln2")(x + h)  # (B*A, T, D)
+        h = nn.Dense(D, dtype=dt, name="ff2")(h)
+        return nn.LayerNorm(dtype=dt, name="ln2")(x + h)  # (B*A, T, D)
 
 
 class RelTransformerDecomposed(nn.Module):

@@ -213,7 +213,8 @@ def _make_gather(cfg: Cfg, device_store: bool, store_mesh):
     else:
         from vog_tpu.data.device_store import gather_from_tables
 
-        feats = gather_from_tables
+        gk = getattr(cfg.misc, "gather_kernel", "auto")
+        feats = lambda batch, tables: gather_from_tables(batch, tables, kernel=gk)
 
     def gather(batch: Dict, tables):
         if tables is not None and "ann_row" in batch:
