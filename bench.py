@@ -180,8 +180,11 @@ def _extras() -> dict:
     out: dict = {}
 
     # -- real-data e2e + mfu ------------------------------------------------
+    # prefer the LARGEST real-dims dataset: the reference-scale 40k set is
+    # the honest e2e context (VERDICT r4 weak #5 — benching a toy set when
+    # both exist silently flattered the number)
     data_dir = os.environ.get("BENCH_DATA") or next(
-        (d for d in ("data/asrl", "data/asrl_40k", "data/asrl_1k6")
+        (d for d in ("data/asrl_40k", "data/asrl", "data/asrl_1k6")
          if os.path.isdir(d)),
         None,
     )
@@ -207,7 +210,8 @@ def _extras() -> dict:
             out["e2e_ms_per_step"] = round(r["t_e2e"] * 1e3, 2)
             out["e2e_stall_pct"] = round(r["stall_pct"], 1)
             out["e2e_config"] = (
-                f"gt5 spat B={BATCH} {r['mode']} bf16 K={K} {data_dir}"
+                f"gt5 spat B={BATCH} {r['mode']} bf16 K={K} {data_dir} "
+                f"gather=3d-take"
             )
             if r["flops_per_step"]:
                 tflops = r["flops_per_step"] / r["t_compute"] / 1e12
@@ -215,8 +219,14 @@ def _extras() -> dict:
                 out["mfu"] = round(tflops / PEAK_BF16_TFLOPS, 4)
                 out["mfu_peak_ref"] = f"v5e bf16 {PEAK_BF16_TFLOPS:.0f} TF/s"
         except Exception as e:  # never lose the headline to an extra
+            import traceback
+
+            # keep the failing file:line — round-4's 200-char message tail
+            # lost the failing-kernel identity (VERDICT r4 weak #5)
+            tb = traceback.extract_tb(e.__traceback__)
+            where = f" @ {tb[-1].filename}:{tb[-1].lineno}" if tb else ""
             out["e2e_pairs_per_sec"] = None
-            out["e2e_skipped"] = f"{type(e).__name__}: {e}"[:200]
+            out["e2e_skipped"] = (f"{type(e).__name__}: {e}"[:300] + where)
 
     return out
 

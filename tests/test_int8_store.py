@@ -23,7 +23,8 @@ def test_pack_rows_int8_error_bound(rng):
     feats = np.abs(rng.normal(size=(6, 3, 4, 32))).astype(np.float32) ** 2
     packed = _pack_rows({"feats": feats}, np.float32, int8=True)
     assert packed["feats"].dtype == np.int8
-    assert packed["feats"].shape == (6, 3 * 4 * 32)
+    # width 3*4*32 = 384 is lane-aligned -> 3-D row-contiguous layout
+    assert packed["feats"].shape == (6, 3, 128)
     assert packed["feats_scale"].shape == (6, 3 * 4)
     deq = (
         packed["feats"].reshape(6, 3, 4, 32).astype(np.float32)

@@ -6,8 +6,11 @@ gathered bytes are identical.  This probe times the gather ALONE — jit of
 gather + full-output reduction (the reduction pass is constant across
 variants, so deltas are gather cost) — across table sizes and variants:
 
-  take    jnp.take (what gather_from_tables uses today)
-  pallas  kernels/gather.gather_rows (scalar-prefetch DMA row copies)
+  take2d  jnp.take on the ROUND-4 flat (N, W) layout (the regression:
+          2-D tiles interleave 8 table rows, cost grows with N)
+  take    jnp.take on the 3-D (N, W/128, 128) row-contiguous layout —
+          the production default (gather_from_tables, kernel="auto")
+  pallas  kernels/gather.gather_rows (manual-DMA row copies, kernel="on")
 
 One JSON line per (N, variant).  Usage:
   python tools/bench_gather.py [N ...]     (default 1600 15000)
@@ -38,8 +41,12 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     def run(N: int, variant: str) -> dict:
-        feats = jnp.zeros((N, Wf), jnp.bfloat16)
-        seg = jnp.zeros((N, Ws), jnp.bfloat16)
+        if variant == "take2d":
+            feats = jnp.zeros((N, Wf), jnp.bfloat16)
+            seg = jnp.zeros((N, Ws), jnp.bfloat16)
+        else:
+            feats = jnp.zeros((N, Wf // 128, 128), jnp.bfloat16)
+            seg = jnp.zeros((N, Ws // 128, 128), jnp.bfloat16)
         rows = jnp.asarray(rng.integers(0, N, (B, V)), jnp.int32)
 
         g = gather_rows if variant == "pallas" else (
@@ -72,7 +79,7 @@ def main() -> None:
         }
 
     for N in sizes:
-        for variant in ("take", "pallas"):
+        for variant in ("take2d", "take", "pallas"):
             print(json.dumps(run(N, variant)), flush=True)
 
 

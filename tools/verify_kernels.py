@@ -216,6 +216,66 @@ def run(fast: bool = False, precision: str | None = None) -> dict:
             thr_g,
         )
 
+    # ---- gather kernel (kernels/gather.py): bitwise row-copy parity vs
+    # jnp.take on the 3-D row-contiguous tables at the real asrl_40k row
+    # widths (feats W=102400, seg W=30720), every storage dtype.  This is
+    # the kernel that shipped broken in round 4 precisely because it had
+    # no gate entry (VERDICT r4 weak #3) — policy now: every kernel in
+    # vog_tpu/kernels/ has a check here (tests/test_kernel_gate.py
+    # enforces by import).
+    from vog_tpu.kernels.gather import gather_rows
+
+    # parity is bitwise (row copies), so N is irrelevant — only the REAL
+    # asrl_40k row widths matter (feats 102400 / seg 30720); tables are
+    # generated on-device (host-side normals of this size page-fault for
+    # minutes on the 1-core host)
+    Ng = 256 if fast else 2048
+    # fast widths keep K = W/128 a multiple of the dtype's sublane tile
+    # (kernels/gather.py guard) so the Pallas path actually runs
+    fast_w = {"bfloat16": 4096, "float32": 2048, "int8": 8192}
+    for dt, W in (("bfloat16", 102400), ("float32", 30720), ("int8", 102400)):
+        if fast:
+            W = fast_w[dt]
+        key = jax.random.PRNGKey(hash(dt) % 2**31)
+        if dt == "int8":
+            t3 = jax.random.randint(
+                key, (Ng, W // 128, 128), -127, 128, jnp.int32
+            ).astype(jnp.int8)
+        else:
+            t3 = jax.random.normal(key, (Ng, W // 128, 128), dt)
+        rows_g = jnp.asarray(
+            rng.integers(0, Ng, (16, 4)).astype(np.int32)
+        )
+        got = jax.device_get(gather_rows(t3, rows_g, interpret=not on_tpu))
+        want = jax.device_get(jnp.take(t3, rows_g, axis=0))
+        exact = bool(np.array_equal(got, want))
+        results[f"gather_{dt}"] = {"fwd": 0.0 if exact else 1.0,
+                                   "grads": 0.0, "ok": exact}
+        print(f"[verify_kernels] gather_{dt}: bitwise={exact}",
+              file=sys.stderr, flush=True)
+        del t3, got, want
+
+    # ---- ring attention (kernels/ring_attention.py): shard_map+collective
+    # path, not Pallas — single-chip entry checks it lowers/executes and
+    # matches the dense math on a 1-device mesh (n=1 ring); multi-device
+    # parity is tests/test_ring_attention.py on the virtual 8-dev mesh.
+    from jax.sharding import Mesh
+
+    from vog_tpu.kernels.ring_attention import ring_attention
+
+    B, T = (4, 200) if fast else (16, 200)
+    q, k, v, mask, fb, fids = _attn_inputs(13, B, H, T, dh, F)
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("model",))
+    got = jax.jit(
+        lambda q, k, v, m, fb, fi: ring_attention(q, k, v, m, fb, fi, mesh1)
+    )(q, k, v, mask, fb, fids)
+    want = jax.jit(xla_flash_ref)(q, k, v, mask, fb, fids)
+    rel = _rel(got, want)
+    results["ring_gt5"] = {"fwd": round(rel, 9), "grads": 0.0,
+                           "ok": rel <= thr_f}
+    print(f"[verify_kernels] ring_gt5: fwd={rel:.3e} ok={rel <= thr_f}",
+          file=sys.stderr, flush=True)
+
     ok = all(r["ok"] for r in results.values())
     return {
         "ok": ok,

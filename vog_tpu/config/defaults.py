@@ -206,6 +206,12 @@ class MiscCfg:
     # (tests/test_int8_store.py).  Only affects ds.device_store tables;
     # host-path batches are untouched.  Overrides half_feats for tables.
     int8_feats: bool = False
+    # device-store row gather inside the step: "auto"/"off" = jnp.take
+    # against the 3-D row-contiguous tables (the measured fast path,
+    # GSPMD-partitionable — data/device_store.py §_table_shape); "on" =
+    # the Pallas manual-DMA kernel (kernels/gather.py; single-device
+    # meshes only — GSPMD cannot partition a bare pallas_call)
+    gather_kernel: str = "auto"
     # fp32 parity with the reference needs full-precision MXU matmuls
     # ("highest" = 3-pass bf16 fp32 emulation); "default" trades parity for
     # ~3x matmul speed

@@ -6,9 +6,10 @@ which costs ~330 ms through this environment's remote-TPU tunnel (measured,
 BASELINE.md §4) and real PCIe bandwidth + host RAM churn on any machine.
 The reference re-reads features from h5 on every batch (SURVEY §3.3).
 
-Here the whole table uploads ONCE: feats (N, F*P*prop_dim) and seg
-(N, F*seg_dim) 2-D device arrays (see DeviceFeatureTables for why the
-rows are flattened), replicated over the mesh; batches then carry
+Here the whole table uploads ONCE: feats (N, F*P*prop_dim/128, 128) and
+seg (N, F*seg_dim/128, 128) row-contiguous device arrays (see
+DeviceFeatureTables for the layout history), replicated over the mesh;
+batches then carry
 only ``vid_rows (B, V) int32`` and the gather runs inside the jitted step
 (XLA dynamic-gather from HBM), so steady-state H2D is a few hundred KB of
 language/targets/boxes per batch.
@@ -62,8 +63,30 @@ def fits_device_store(cfg: Cfg, n_videos: int, n_data_shards: int = 1) -> bool:
     return need <= DEVICE_STORE_BUDGET_BYTES * max(n_data_shards, 1)
 
 
+def _table_shape(n: int, width: int) -> tuple:
+    """Feature tables store as 3-D ``(N, width//128, 128)`` whenever the
+    row width is lane-aligned, else flat 2-D ``(N, width)``.
+
+    Why 3-D (measured on-chip, round 5): a 2-D (N, W) array's tiled TPU
+    layout packs 8 *table rows* per (8, 128) tile, so gathering one row
+    touches tiles it shares with 7 neighbours and XLA's gather lowering
+    degrades with N — the same production step measured 7.0 -> 15.4
+    ms/step as the store grew 1.6k -> 15k videos (BASELINE §Round-4).
+    In the 3-D form the (8, 128) tiles live in the row's own
+    (W//128, 128) minor dims, every row is a self-contained tile run,
+    and ``jnp.take`` is bytes-gathered-bound: the same 15k-row bf16
+    gather drops ~9.8 ms -> ~0.1 ms (tmp/gather_proto3 on the v5e).
+    4-D (N,F,P,D) was rejected in round 3 for forcing a full-table
+    relayout copy into the step; 3-D keeps the default (0,1,2) layout.
+    """
+    if width % 128 == 0:
+        return (n, width // 128, 128)
+    return (n, width)
+
+
 def _pack_rows(local: Dict[str, np.ndarray], dtype, int8: bool) -> Dict[str, np.ndarray]:
-    """Host (rows, ...) arrays -> the flat 2-D arrays to upload.
+    """Host (rows, ...) arrays -> the packed arrays to upload (3-D
+    row-contiguous when lane-aligned — see ``_table_shape``).
 
     int8 mode quantizes per trailing vector (one symmetric scale per
     proposal feature / per segment frame): q = round(x / s), s =
@@ -73,14 +96,15 @@ def _pack_rows(local: Dict[str, np.ndarray], dtype, int8: bool) -> Dict[str, np.
     """
     out = {}
     for k, v in local.items():
+        shape = _table_shape(v.shape[0], int(np.prod(v.shape[1:])))
         if int8:
             s = np.max(np.abs(v), axis=-1) / 127.0
             s = np.where(s == 0, 1.0, s).astype(np.float32)
             q = np.clip(np.round(v / s[..., None]), -127, 127).astype(np.int8)
-            out[k] = q.reshape(q.shape[0], -1)
+            out[k] = q.reshape(shape)
             out[k + "_scale"] = s.reshape(s.shape[0], -1)
         else:
-            out[k] = v.reshape(v.shape[0], -1).astype(dtype)
+            out[k] = v.reshape(shape).astype(dtype)
     return out
 
 
@@ -120,15 +144,17 @@ def _stream_build_tables(
         f = jax.jit(partial(jnp.zeros, shape, dt), out_shardings=sharding)
         return f()
 
-    def updater():
+    def updater(ndim):
+        zeros = (jnp.int32(0),) * (ndim - 1)
         return jax.jit(
-            lambda t, c, i: jax.lax.dynamic_update_slice(t, c, (i, 0)),
+            lambda t, c, i: jax.lax.dynamic_update_slice(t, c, (i, *zeros)),
             donate_argnums=(0,),
             out_shardings=sharding,
         )
 
-    tables = {k: dev_zeros((n, w), np_dt) for k, w in widths.items()}
-    upd = {k: updater() for k in widths}
+    tshape = {k: _table_shape(n, w) for k, w in widths.items()}
+    tables = {k: dev_zeros(s, np_dt) for k, s in tshape.items()}
+    upd = {k: updater(len(tshape[k])) for k in widths}
     scales = (
         {k: np.zeros((n, int(np.prod(s[:-1]))), np.float32) for k, s in shapes.items()}
         if int8
@@ -167,7 +193,10 @@ def _stream_build_tables(
                     # assignment casts f32 -> dtype (same rounding as astype)
                     stag[k][j] = v.reshape(-1)
         for k in widths:
-            cdev = jax.device_put(stag[k][:m], sharding)
+            # row-major reshape to the table's 3-D form is a view (no copy)
+            cdev = jax.device_put(
+                stag[k][:m].reshape((m, *tshape[k][1:])), sharding
+            )
             tables[k] = upd[k](tables[k], cdev, jnp.int32(i0))
     for k, sc in scales.items():
         tables[k + "_scale"] = jax.device_put(sc, sharding)
@@ -178,21 +207,20 @@ class DeviceFeatureTables:
     """Builds (and uploads) the packed per-video feature tables.
 
     ``rows`` maps vid_seg -> row index; ``tables`` is the device pytree
-    {"feats": (N, F*P*D), "seg": (N, F*Dv)} — replicated over the mesh,
-    or with ``shard=True`` row-sharded over the mesh's 'data' axis (rows
-    padded to a multiple of the axis size; gather then goes through
-    ``sharded_gather_from_tables``).
+    {"feats": (N, F*P*D/128, 128), "seg": (N, F*Dv/128, 128)} — replicated
+    over the mesh, or with ``shard=True`` row-sharded over the mesh's
+    'data' axis (rows padded to a multiple of the axis size; gather then
+    goes through ``sharded_gather_from_tables``).
 
-    Why 2-D rows (measured, round 3): for the natural 4-D (N,F,P,D)
-    table XLA picks an exotic parameter layout for the in-step gather
-    (major_to_minor (1,2,0,3) on upload vs {0,3,2,1} preferred by the
-    executable) and inserts a RELAYOUT COPY OF THE ENTIRE TABLE into the
-    step — doubling the table's HBM footprint (a 7.5 GB table OOMed a
-    16 GB chip) and paying a full-table pass per step.  The flattened
-    (N, row_bytes) form is the canonical embedding-table shape: default
-    (0,1) layout, gather reads only the requested rows, no copy
-    (verified by OOM-probe: a 9 GB 2-D bf16 table + jit take survives
-    where the 4-D form died).
+    Layout history (all measured on-chip): the natural 4-D (N,F,P,D)
+    table made XLA insert a RELAYOUT COPY OF THE ENTIRE TABLE into the
+    step (round 3 — a 7.5 GB table OOMed a 16 GB chip); the round-3 flat
+    2-D (N, W) fix removed the copy but its (8, 128) tiles interleave 8
+    *table rows*, so the gather degrades with N (7.0 -> 15.4 ms/step at
+    1.6k -> 15k videos, BASELINE §Round-4).  The 3-D row-contiguous form
+    (``_table_shape``) keeps the default layout AND makes every row a
+    self-contained tile run — gather cost tracks only the bytes gathered
+    (~0.1 ms at GT5 B=16 against a 15k-row bf16 table).
     """
 
     def __init__(
@@ -234,7 +262,7 @@ class DeviceFeatureTables:
             # slice of the dataset; the 'model' axis replicates a row
             # range across several devices — stream it once, reuse)
             idx_map = sharding.addressable_devices_indices_map(
-                (n, int(np.prod(shapes["feats"])))
+                _table_shape(n, int(np.prod(shapes["feats"])))
             )
             built: Dict[tuple, Dict] = {}
             dev_for: Dict[object, tuple] = {}
@@ -260,9 +288,8 @@ class DeviceFeatureTables:
                     # each entry must live on ITS device (replicated model
                     # axis shares a range; re-put pins the right device)
                     per_dev.append(jax.device_put(v, SingleDeviceSharding(dev)))
-                width = per_dev[0].shape[1]
                 self.tables[k] = jax.make_array_from_single_device_arrays(
-                    (n, width), sharding, per_dev
+                    (n, *per_dev[0].shape[1:]), sharding, per_dev
                 )
             return
 
@@ -277,24 +304,33 @@ class DeviceFeatureTables:
         )
 
 
-def gather_from_tables(batch: Dict, tables: Dict, kernel: str = "auto") -> Dict:
-    """Inside-jit: resolve vid_rows against the resident 2-D tables so
-    the downstream path sees the canonical props/seg_feats batch schema.
-    Clip-view dims are recovered statically from prop_mask + row width.
+def _row_width(table) -> int:
+    """Logical row width of a packed table (2-D flat or 3-D row-tiled)."""
+    w = 1
+    for d in table.shape[1:]:
+        w *= d
+    return w
 
-    ``kernel``: "auto"|"on" route the row gather through the Pallas
-    scalar-prefetch DMA kernel (kernels/gather.py) on TPU — XLA's generic
-    gather lowering degrades with table size (measured 1.6k -> 15k rows:
-    +8 ms/step, BASELINE.md §Round-4) while the kernel's cost tracks only
-    the gathered bytes; "off" keeps jnp.take (parity/debug)."""
+
+def gather_from_tables(batch: Dict, tables: Dict, kernel: str = "auto") -> Dict:
+    """Inside-jit: resolve vid_rows against the resident row-contiguous
+    tables so the downstream path sees the canonical props/seg_feats batch
+    schema.  Clip-view dims are recovered statically from prop_mask + row
+    width.
+
+    ``kernel``: "auto"|"off" use ``jnp.take`` — against the 3-D
+    row-contiguous layout (``_table_shape``) XLA's gather is
+    bytes-gathered-bound, GSPMD-partitionable, and the measured fast path;
+    "on" routes through the Pallas manual-DMA kernel (kernels/gather.py,
+    single-device meshes only — GSPMD cannot partition the custom call)."""
     import jax.numpy as jnp
 
     rows = batch["vid_rows"]  # (B, V) int32
     B, V, F, P = batch["prop_mask"].shape
-    D = tables["feats"].shape[1] // (F * P)
-    Dv = tables["seg"].shape[1] // F
+    D = _row_width(tables["feats"]) // (F * P)
+    Dv = _row_width(tables["seg"]) // F
     out = {k: v for k, v in batch.items() if k != "vid_rows"}
-    if kernel in ("auto", "on"):
+    if kernel == "on":
         from vog_tpu.kernels.gather import gather_rows as _take
     else:
         _take = lambda t, r: jnp.take(t, r, axis=0)
@@ -328,8 +364,8 @@ def sharded_gather_from_tables(batch: Dict, tables: Dict, mesh) -> Dict:
 
     rows = batch["vid_rows"]  # (B, V) int32 — global batch
     B, V, F, Pn = batch["prop_mask"].shape
-    D = tables["feats"].shape[1] // (F * Pn)
-    Dv = tables["seg"].shape[1] // F
+    D = _row_width(tables["feats"]) // (F * Pn)
+    Dv = _row_width(tables["seg"]) // F
     out = {k: v for k, v in batch.items() if k != "vid_rows"}
     int8 = "feats_scale" in tables
 
@@ -338,8 +374,10 @@ def sharded_gather_from_tables(batch: Dict, tables: Dict, mesh) -> Dict:
         start = jax.lax.axis_index("data") * nloc
         loc = jnp.clip(rows_full - start, 0, nloc - 1)
         mine = (rows_full >= start) & (rows_full < start + nloc)
-        f = jnp.take(feats_loc, loc, axis=0)  # (B, V, F*P*D)
-        s = jnp.take(seg_loc, loc, axis=0)  # (B, V, F*Dv)
+        # flatten the gathered rows (3-D tables -> flat rows; cheap, it's
+        # batch-sized) so masking/scatter below is layout-agnostic
+        f = jnp.take(feats_loc, loc, axis=0).reshape(B, V, -1)  # (B,V,F*P*D)
+        s = jnp.take(seg_loc, loc, axis=0).reshape(B, V, -1)  # (B,V,F*Dv)
         if int8:  # dequantize locally; the scatter then carries f32
             fs = jnp.take(fs_loc, loc, axis=0)  # (B, V, F*P)
             ss = jnp.take(ss_loc, loc, axis=0)  # (B, V, F)

@@ -213,7 +213,7 @@ def _make_gather(cfg: Cfg, device_store: bool, store_mesh):
     else:
         from vog_tpu.data.device_store import gather_from_tables
 
-        gk = getattr(cfg.misc, "gather_kernel", "auto")
+        gk = cfg.misc.gather_kernel
         feats = lambda batch, tables: gather_from_tables(batch, tables, kernel=gk)
 
     def gather(batch: Dict, tables):
