@@ -247,7 +247,10 @@ def _kernel_parity() -> dict:
         p = subprocess.run(
             [sys.executable, os.path.join("tools", "verify_kernels.py")],
             capture_output=True, text=True,
-            timeout=float(os.environ.get("BENCH_PARITY_TIMEOUT_S", "900")),
+            # cold-cache ceiling: the 10-check gate measured ~9 min of
+            # tunnel compiles on this host (round 5); verify_kernels now
+            # writes the persistent compile cache so warm runs are minutes
+            timeout=float(os.environ.get("BENCH_PARITY_TIMEOUT_S", "1500")),
             env=env, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
         )
         lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]

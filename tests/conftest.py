@@ -107,6 +107,20 @@ def rng():
 # level (fine-tune loop).  Regenerate after large suite changes by
 # re-running the suite with --durations=0 and rebuilding this list.
 SLOW_NODE_IDS = {
+    # round-5 additions (fast tier measured 579-709 s on this host;
+    # VERDICT r4 next #7 wants <= ~300 s): the heavy tail below moves to
+    # the slow tier — every module keeps at least one unmarked test
+    # (multihost keeps its two single-process tests, bf16_mode keeps
+    # validate_end_to_end, models/multi_dispatch/torch_twin/round3 keep
+    # their light majority)
+    "tests/test_multihost.py::test_two_process_cluster_train_step_and_gather",
+    "tests/test_bf16_mode.py::test_bf16_step_tracks_fp32",
+    "tests/test_bf16_mode.py::test_params_fp32_and_logits_fp32_and_close",
+    "tests/test_bf16_mode.py::test_bf16_with_rank_loss_and_sep",
+    "tests/test_models.py::test_grads_finite_and_nonzero[vid_grnd]",
+    "tests/test_multi_dispatch.py::test_multi_dispatch_resume_mid_epoch",
+    "tests/test_round3_robustness.py::test_train_dl_prefetch_device_put_transform",
+    "tests/test_torch_twin.py::test_vognet_torch_twin_gradient_parity",
     "tests/test_ann_store.py::test_learner_fit_identical_with_ann_store",
     "tests/test_ann_store.py::test_multi_dispatch_with_ann_store",
     "tests/test_ann_store.py::test_train_step_loss_identical",
