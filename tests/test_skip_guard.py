@@ -117,3 +117,43 @@ def test_guard_dropped_step_leaves_state_untouched():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(st1.notfinite_count) == 1
     assert int(st1.total_notfinite) == 1
+
+
+def test_learner_aborts_when_guard_gives_up(fixture_dir, tmp_path):
+    """Round-5 regression: a burst of > skip_nonfinite consecutive
+    non-finite steps makes the guard give up (the bad update flows
+    through, poisoning params — apply_if_finite semantics), after which
+    a real run "trained" 10 NaN epochs while logging "update dropped".
+    The Learner must abort via the step's guard_notfinite counter
+    instead of continuing."""
+    from tests.conftest import small_cfg
+    from vog_tpu.data import get_data
+    from vog_tpu.train import Learner, make_mesh
+
+    cfg = small_cfg(
+        fixture_dir,
+        **{
+            "mdl.name": "img_grnd",
+            "ds.conc_type": "svsq",
+            "train.bs": 4,
+            "train.epochs": 1,
+            "train.skip_nonfinite": 2,
+            "train.log_every": 1,
+            "misc.mesh_data": 1,
+        },
+    )
+    cfg.misc.tmp_path = str(tmp_path / "tmp")
+    data = get_data(cfg, cfg.train.bs)
+    store = data.train_dl.ds.store
+    # poison EVERY train video -> every batch's grads are non-finite, so
+    # the guard's consecutive count passes the budget at batch 3
+    for vid in store.videos():
+        if vid.startswith("tr"):
+            feats, boxes, scores, seg = store._cache[vid]
+            store._cache[vid] = (
+                np.full_like(feats, np.inf), boxes, scores, seg
+            )
+
+    lrn = Learner("giveup", data, cfg, mesh=make_mesh(cfg))
+    with pytest.raises(FloatingPointError, match="gave up"):
+        lrn.fit()

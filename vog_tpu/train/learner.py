@@ -649,6 +649,27 @@ class Learner:
                         # dropped — note it and continue; otherwise the
                         # weights are poisoned and the run must abort
                         if cfg.train.skip_nonfinite > 0:
+                            # the guard only DROPS updates while its
+                            # consecutive-bad-step count stays within
+                            # budget; past that it gives up and the bad
+                            # update flows through (mirroring
+                            # optax.apply_if_finite) — params are then
+                            # poisoned and continuing would train NaN
+                            # epochs that look alive in the logs
+                            # (round-5 find).  guard_notfinite is the
+                            # count AFTER each step in this dispatch.
+                            gnf = aux.get("guard_notfinite")
+                            if gnf is not None and int(
+                                np.max(np.asarray(gnf))
+                            ) > cfg.train.skip_nonfinite:
+                                raise FloatingPointError(
+                                    f"skip_nonfinite guard gave up: > "
+                                    f"{cfg.train.skip_nonfinite} consecutive "
+                                    f"non-finite steps at ep {self.epoch} it "
+                                    f"{it_pos - 1} — params are poisoned; "
+                                    "lower train.lr or raise "
+                                    "train.skip_nonfinite"
+                                )
                             self.log(
                                 f"ep {self.epoch} it {it_pos - 1} non-finite "
                                 "loss (update dropped by skip_nonfinite)"

@@ -266,6 +266,15 @@ def make_train_step(
             )
             new_state = state.apply_gradients(grads=grads)
             aux["grad_norm"] = optax.global_norm(grads)
+            if cfg.train.skip_nonfinite > 0:
+                # guard's consecutive-bad-step counter (the guard is the
+                # outermost transform, so opt_state IS its state); the
+                # Learner aborts once this exceeds the budget — past that
+                # point the give-up semantics applied a non-finite update
+                # and the params are poisoned (round-5 find: a >K burst
+                # poisoned a run that then "trained" 10 NaN epochs while
+                # logging "update dropped")
+                aux["guard_notfinite"] = new_state.opt_state.notfinite_count
             return new_state, aux
 
         # grad-accumulation path (train.grad_accum = K): split the batch
@@ -318,6 +327,8 @@ def make_train_step(
         aux = jax.tree.map(lambda x: x.mean(0), auxs)
         new_state = state.apply_gradients(grads=grads)
         aux["grad_norm"] = optax.global_norm(grads)
+        if cfg.train.skip_nonfinite > 0:
+            aux["guard_notfinite"] = new_state.opt_state.notfinite_count
         return new_state, aux
 
     return train_step
