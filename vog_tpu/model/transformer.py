@@ -279,11 +279,28 @@ class DecomposedRelAttention(nn.Module):
             ) * scale + tok_bias[None]
             neg = jnp.finfo(shared.dtype).min
             shared = jnp.where(key_mask[:, None, None, :] > 0, shared, neg)
-            w = jnp.exp(shared - shared.max(-1, keepdims=True))  # (B,H,T,T)
-            ev = e[..., None] * vm[:, :, None].astype(jnp.float32)
-            numer = jnp.einsum("bhij,bhajd->bhaid", w.astype(ev.dtype), ev)
-            denom = jnp.einsum("bhij,bhaj->bhai", w, e)
-            pv = numer / jnp.maximum(denom[..., None], 1e-30)
+            # per-arg COMBINED-logit softmax: p_a = softmax_j(shared + c_a).
+            # The earlier product form w·e (separately-normalized
+            # exponentials, shared exp) is exact in ℝ but not in f32: once
+            # training sharpens both distributions onto disjoint keys the
+            # denominator Σ_j w_j e_aj reached 1e-26 (measured, round-5
+            # learnability run) and the division backward's denom²
+            # underflowed f32 to 0 → inf → NaN, poisoning every grad
+            # upstream of this layer while the loss stayed finite.  The
+            # combined max keeps every denominator ≥ 1 by construction
+            # (exp(0)=1 at the row max); cost is A exps instead of one
+            # (VPU-bound, A=5).  The j-constant-term cancellation argument
+            # is unchanged, so this still equals the materialized path.
+            vm32 = vm.astype(jnp.float32)
+            per_arg = []
+            for a in range(A):
+                t = shared + c[:, :, a, None, :]  # (B,H,T,T)
+                p = jnp.exp(t - t.max(-1, keepdims=True))
+                per_arg.append(
+                    jnp.einsum("bhij,bhjd->bhid", p, vm32)
+                    / p.sum(-1, keepdims=True)
+                )
+            pv = jnp.stack(per_arg, axis=2)  # (B,H,A,T,dh)
 
         # kg enters logits only via qm_i·kg_a, constant over j -> cancels in
         # the softmax (exactly as in the materialized path); vg shifts every

@@ -681,6 +681,29 @@ class Learner:
                                 f"non-finite loss {loss} at ep {self.epoch} "
                                 f"it {it_pos - 1} (grad_norm={float(gn[-1])})"
                             )
+                    # finite loss does NOT mean finite grads: inf grads
+                    # with a healthy-looking loss freeze params via the
+                    # guard (count climbs silently toward give-up) — the
+                    # exact shape of the round-5 ep8 stall.  Surface it.
+                    gnf = aux.get("guard_notfinite")
+                    if gnf is not None:
+                        nbad = int(np.max(np.asarray(gnf)))
+                        if nbad > cfg.train.skip_nonfinite:
+                            raise FloatingPointError(
+                                f"skip_nonfinite guard gave up: > "
+                                f"{cfg.train.skip_nonfinite} consecutive "
+                                f"non-finite grad steps at ep {self.epoch} "
+                                f"it {it_pos - 1} (loss still finite) — "
+                                "params are poisoned; lower train.lr or "
+                                "raise train.skip_nonfinite"
+                            )
+                        if nbad > 0:
+                            self.log(
+                                f"ep {self.epoch} it {it_pos - 1}: "
+                                f"{nbad} consecutive non-finite GRAD "
+                                "step(s) with finite loss — updates "
+                                "dropped by skip_nonfinite, params frozen"
+                            )
                     for v in lo:
                         smooth.add_value(float(v))
                     bar.update(0, loss=loss, smooth=smooth.smooth)
