@@ -10,23 +10,26 @@ from vog_tpu.kernels.mm_attention import mm_shared_qk_attention
 NEG = -1e30
 
 
-def xla_ref(qm, km, vm, e, mask, fb, fids):
+def xla_ref(qm, km, vm, cn, mask, fb, fids):
+    # combined-logit reference: softmax_j(shared + cn_a) @ vm per arg —
+    # same formulation the kernel implements (round-5; the former w·e
+    # product form underflows f32 in sharp regimes)
     tok_bias = fb[:, fids][:, :, fids]  # (H,T,T)
     shared = jnp.einsum("bhid,bhjd->bhij", qm, km) + tok_bias[None]
     shared = jnp.where(mask[:, None, None, :] > 0, shared, NEG)
-    w = jnp.exp(shared - shared.max(-1, keepdims=True))
-    numer = jnp.einsum("bhij,bhajd->bhaid", w, e[..., None] * vm[:, :, None])
-    denom = jnp.einsum("bhij,bhaj->bhai", w, e)
-    return numer / jnp.maximum(denom[..., None], 1e-30)
+    t = shared[:, :, None] + cn[:, :, :, None, :]  # (B,H,A,T,T)
+    p = jnp.exp(t - t.max(-1, keepdims=True))
+    return jnp.einsum("bhaij,bhjd->bhaid", p, vm) / p.sum(-1, keepdims=True)
 
 
 def _mk(seed, B=1, H=2, A=3, T=40, dh=16, F=10):
+    # `e` below is the log-domain per-arg key weighting cn (<= 0)
     rng = np.random.default_rng(seed)
     qm, km, vm = (
         jnp.asarray(rng.normal(size=(B, H, T, dh)).astype(np.float32))
         for _ in range(3)
     )
-    e = jnp.asarray(rng.uniform(0.1, 1.0, (B, H, A, T)).astype(np.float32))
+    e = jnp.asarray(rng.uniform(-3.0, 0.0, (B, H, A, T)).astype(np.float32))
     mask = jnp.asarray((rng.uniform(size=(B, T)) > 0.2).astype(np.float32))
     mask = mask.at[:, 0].set(1.0)
     fb = jnp.asarray(rng.normal(scale=0.5, size=(H, F, F)).astype(np.float32))

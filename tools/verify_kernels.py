@@ -81,13 +81,15 @@ def xla_flash_ref(q, k, v, mask, fb, fids):
     return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
 
 
-def xla_mm_ref(qm, km, vm, e, mask, fb, fids):
+def xla_mm_ref(qm, km, vm, cn, mask, fb, fids):
+    # combined-logit form (round-5): softmax_j(shared + cn_a) @ vm — the
+    # kernel's exact math; the former w·e product form underflows f32 in
+    # sharp regimes (BASELINE.md §Round-5)
     shared = jnp.einsum("bhid,bhjd->bhij", qm, km) + fb[:, fids][:, :, fids][None]
     shared = jnp.where(mask[:, None, None, :] > 0, shared, NEG)
-    w = jnp.exp(shared - shared.max(-1, keepdims=True))
-    numer = jnp.einsum("bhij,bhajd->bhaid", w, e[..., None] * vm[:, :, None])
-    denom = jnp.einsum("bhij,bhaj->bhai", w, e)
-    return numer / jnp.maximum(denom[..., None], 1e-30)
+    t = shared[:, :, None] + cn[:, :, :, None, :]
+    p = jnp.exp(t - t.max(-1, keepdims=True))
+    return jnp.einsum("bhaij,bhjd->bhaid", p, vm) / p.sum(-1, keepdims=True)
 
 
 def xla_head_ref(vis, arg, wv, wl, wx, w1, b1, w2, b2):
@@ -177,9 +179,10 @@ def run(fast: bool = False, precision: str | None = None) -> dict:
         )
 
         # mm kernel: P100 runs at smaller batch in production (B=2); reuse
-        # the same tensors as qm/km/vm and add per-arg key weights
+        # the same tensors as qm/km/vm and add per-arg log-domain key
+        # weights cn (<= 0, as the model passes them)
         e = jnp.asarray(
-            rng.uniform(0.1, 1.0, (B, H, A, T)).astype(np.float32)
+            rng.uniform(-3.0, 0.0, (B, H, A, T)).astype(np.float32)
         )
         gpa = jnp.asarray(rng.normal(size=(B, H, A, T, dh)).astype(np.float32))
         _compare(

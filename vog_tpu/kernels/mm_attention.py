@@ -1,9 +1,19 @@
 """Fused shared-QK multi-arg attention (VOGNet's decomposed mm layer).
 
 The arg-decomposed first multimodal layer (see
-``model/transformer.py §DecomposedRelAttention``) computes, per head:
+``model/transformer.py §DecomposedRelAttention``) computes, per head and
+arg, the combined-logit softmax
 
-  out_a = [w @ (e_a ∘ vm)] / [w @ e_a],   w = exp(qm km^T + bias - m)
+  out_a = softmax_j(s_ij + cn_aj) @ vm,   s = qm km^T + bias (masked)
+
+where ``cn`` is the per-arg log-domain key weighting (qg_a·km, max-
+normalized).  Round-5 change: the original product form
+w·e_a / Σ w·e_a (one shared exp, per-arg key reweighting) is exact in
+real arithmetic but its denominator underflows f32 once training
+sharpens w and e onto disjoint keys (measured 1e-26; the division
+backward's denom² then underflows to 0 -> inf -> NaN).  The per-arg
+combined row max keeps every denominator >= 1 by construction; cost is
+A exps per tile (VPU) while every MXU contraction stays batched.
 
 The XLA implementation materializes w (B,H,T,T) and the per-arg value
 streams e∘vm (B,H,A,T,dh) in HBM (~27 ms of the 80 ms P100 step in the
@@ -11,24 +21,24 @@ round-1 profile).  This kernel is a flash-style rewrite:
 
   * **Online softmax over k-tiles** — running row max + rescaling, so the
     whole key axis never needs to sit in VMEM and T is unbounded.
-  * **Batched A value streams** (round-1 backlog item): per k-tile the A
-    per-arg streams e_a ∘ vm stack into ONE (bk, A·dh) wide matrix, so the
-    value contraction is a single (bq, bk) @ (bk, A·dh) MXU matmul instead
-    of A small ones (the reason the round-1 kernel lost to XLA by 4%).
-    The backward batches the same way: the per-arg g @ vm^T products run
-    as one (A·bq, dh) @ (dh, bk) GEMM, and dv as one
-    (bk, A·bq) @ (A·bq, dh).
-  * e, den, delta travel TRANSPOSED as (BH, T, A) so per-arg columns are
-    natural (rows, 1) sublane tiles (Mosaic cannot reshape lanes into
-    sublanes).
+  * **Batched A streams** (round-1 backlog item): per k-tile the A
+    per-arg probability tiles stack into ONE (A·bq, bk) matrix, so the
+    value contraction is a single (A·bq, bk) @ (bk, dh) MXU matmul
+    instead of A small ones.  The backward batches the same way: the
+    per-arg g @ vm^T products run as one (A·bq, dh) @ (dh, bk) GEMM,
+    and dv as one (bk, A·bq) @ (A·bq, dh).
+  * cn, m, den, delta travel TRANSPOSED as (BH, T, A) so per-arg columns
+    are natural (rows, 1) sublane tiles (Mosaic cannot reshape lanes
+    into sublanes).
   * The relative-frame bias uses the same factored per-key-column form
     (fbc = fb[:, :, frame_ids]) and frame-pure fast path as
-    ``kernels/attention.py``; the backward recomputes w tiles from the
-    saved row max (softmax shift invariance makes treating the max as a
-    constant exact) and the saved per-arg denominators.
-  * The backward default is ONE kernel (dk/dv/de) that also EMITS the
-    score-grad tiles ds; dq (= ds @ km) and the frame-bias grad
-    (= onehot^T ds onehot) then run as plain XLA GEMMs.  A "recompute"
+    ``kernels/attention.py``; the backward recomputes p tiles from the
+    saved per-arg row max (softmax shift invariance makes treating the
+    max as a constant exact) and the saved per-arg denominators.
+  * The backward default is ONE kernel (dk/dv/dcn) that also EMITS the
+    summed score-grad tiles comb = Σ_a ds_a; dq (= comb @ km) and the
+    frame-bias grad (= onehot^T comb onehot) then run as plain XLA
+    GEMMs.  A "recompute"
     mode (VOG_MM_BWD / bwd_mode=) adds a second dq+dfb kernel instead,
     keeping the (T,T) score-grad out of HBM — measured SLOWER here at
     both precisions (unlike kernels/attention.py, whose recompute only
@@ -77,7 +87,7 @@ def _dot(a, b, contract=((1,), (1,))):
 # --------------------------------------------------------------------------
 # forward: grid (BH, nq, nk) — online softmax, k innermost
 # --------------------------------------------------------------------------
-def _fwd_kernel(qm_ref, km_ref, vm_ref, et_ref, mask_ref, fbc_ref, fid_ref,
+def _fwd_kernel(qm_ref, km_ref, vm_ref, ct_ref, mask_ref, fbc_ref, fid_ref,
                 o_ref, mrow_ref, den_ref, num_acc, den_acc, m_run,
                 *, n_args, n_frames, bq, bk, nk):
     qi = pl.program_id(1)
@@ -93,7 +103,7 @@ def _fwd_kernel(qm_ref, km_ref, vm_ref, et_ref, mask_ref, fbc_ref, fid_ref,
     qb = qm_ref[0]  # (bq, dh) — caller pre-scales qm
     kb = km_ref[0]  # (bk, dh)
     vb = vm_ref[0]  # (bk, dh)
-    et = et_ref[0]  # (bk, A)
+    ct = ct_ref[0]  # (bk, A) — per-arg log-domain key weights cn
     dh = qb.shape[-1]
 
     s = _dot(qb, kb)  # (bq, bk)
@@ -101,36 +111,52 @@ def _fwd_kernel(qm_ref, km_ref, vm_ref, et_ref, mask_ref, fbc_ref, fid_ref,
     mask_k = mask_ref[0, 0]  # (bk,)
     s = jnp.where(mask_k[None, :] > 0, s, NEG)
 
-    m_prev = m_run[:]  # (bq, 1)
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
-    p = jnp.exp(s - m_new)  # (bq, bk)
-
-    # wide value matrix: column block a = e_a ∘ vm  -> one MXU matmul
-    vwide = jnp.concatenate(
-        [vb * et[:, a : a + 1] for a in range(A)], axis=1
-    )  # (bk, A*dh)
-    num_acc[:] = num_acc[:] * alpha + _dot(p, vwide, contract=((1,), (0,)))
-    den_acc[:] = den_acc[:] * alpha + _dot(p, et, contract=((1,), (0,)))
-    m_run[:] = m_new
+    # per-arg COMBINED-logit online softmax: t_a = s + cn_a, with a
+    # per-arg running row max, so every final denominator is >= 1
+    # (exp(0)=1 at the row max).  The round-4 product form
+    # w·e / Σ w·e underflowed f32 once training sharpened both factors
+    # onto disjoint keys (denominators hit 1e-26 and the division
+    # backward's denom² underflowed to 0 -> inf -> NaN; see
+    # model/transformer.py §DecomposedRelAttention for the full story).
+    # Cost vs the shared-exp form: A exps/maxes per tile (VPU); the
+    # value contraction stays ONE MXU GEMM via the (A·bq, bk) stack.
+    ps = []
+    for a in range(A):
+        t = s + ct[:, a][None, :]  # (bq, bk)
+        m_prev = m_run[:, a : a + 1]
+        m_new = jnp.maximum(m_prev, jnp.max(t, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
+        p = jnp.exp(t - m_new)
+        ps.append(p)
+        den_acc[:, a : a + 1] = den_acc[:, a : a + 1] * alpha + jnp.sum(
+            p, axis=-1, keepdims=True
+        )
+        num_acc[:, a * dh : (a + 1) * dh] = (
+            num_acc[:, a * dh : (a + 1) * dh] * alpha
+        )
+        m_run[:, a : a + 1] = m_new
+    # one batched (A·bq, bk) @ (bk, dh) GEMM for all A value streams
+    nu = _dot(jnp.concatenate(ps, axis=0), vb, contract=((1,), (0,)))
+    for a in range(A):
+        num_acc[:, a * dh : (a + 1) * dh] += nu[a * bq : (a + 1) * bq]
 
     @pl.when(ki == nk - 1)
     def _():
         mrow_ref[0] = m_run[:]
         den_ref[0] = den_acc[:]
         for a in range(A):
-            o_ref[0, a] = num_acc[:, a * dh : (a + 1) * dh] / jnp.maximum(
-                den_acc[:, a : a + 1], 1e-30
-            )
+            # den >= 1 by construction — no epsilon clamp needed
+            o_ref[0, a] = num_acc[:, a * dh : (a + 1) * dh] / den_acc[
+                :, a : a + 1
+            ]
 
 
 # --------------------------------------------------------------------------
 # backward tiles
 # --------------------------------------------------------------------------
-def _tile_w(qm_blk, km_blk, bias_t, mask_k, m_blk):
+def _tile_s(qm_blk, km_blk, bias_t, mask_k):
     s = _dot(qm_blk, km_blk) + bias_t
-    s = jnp.where(mask_k[None, :] > 0, s, NEG)
-    return jnp.exp(s - m_blk)  # (bq, bk)
+    return jnp.where(mask_k[None, :] > 0, s, NEG)  # (bq, bk)
 
 
 def _gv_stack(g_blk, vm_blk, A, bq):
@@ -143,27 +169,33 @@ def _gv_stack(g_blk, vm_blk, A, bq):
 
 
 def _make_bwd_dkv_kernel(emit_ds: bool):
-    """dk/dv/de backward kernel over grid (BH, nk, nq), i innermost.
+    """dk/dv/dcn backward kernel over grid (BH, nk, nq), i innermost.
 
-    emit_ds=True: the score-grad tile ds is ALSO written to HBM; dq
-    (= ds @ km) and the frame-bias grad (= onehot^T ds onehot) then run
-    as plain XLA GEMMs.  emit_ds=False ("recompute"): a second kernel
-    (`_bwd_dq_kernel`) re-derives w/gv/ds per tile to accumulate dq and
-    dfb in VMEM — no (T,T) tensor in HBM.  Mode choice + measurements:
-    BASELINE.md §recompute-vs-emit (same analysis as kernels/attention)."""
+    Per-arg combined-logit form (see _fwd_kernel): p_a = exp(s + cn_a -
+    m_a) with saved per-arg row max m and denominator den >= 1, so every
+    inv_d is bounded by 1 — no epsilon clamps, no underflow singularity.
+    Standard softmax backward per arg: ds_a = p_a ∘ (gv_a - delta_a)/den;
+    comb = Σ_a ds_a serves dk (and dq/dfb downstream).
 
-    def kernel(qm_ref, km_ref, vm_ref, e_ref, et_ref, mask_ref, fbc_ref,
+    emit_ds=True: comb is ALSO written to HBM; dq (= comb @ km) and the
+    frame-bias grad (= onehot^T comb onehot) then run as plain XLA
+    GEMMs.  emit_ds=False ("recompute"): a second kernel
+    (`_bwd_dq_kernel`) re-derives the tiles in VMEM — no (T,T) tensor in
+    HBM.  Mode choice + measurements: BASELINE.md §recompute-vs-emit."""
+
+    def kernel(qm_ref, km_ref, vm_ref, cf_ref, mask_ref, fbc_ref,
                fid_ref, g_ref, m_ref, den_ref, delta_ref,
                *out_refs, n_args, n_frames, blk):
-        dk_ref, dv_ref, de_ref = out_refs[0], out_refs[1], out_refs[2]
+        dk_ref, dv_ref, dc_ref = out_refs[0], out_refs[1], out_refs[2]
         j = pl.program_id(1)
         i = pl.program_id(2)
         A = n_args
         mask_k = mask_ref[0, 0, pl.ds(j * blk, blk)]
         bias_t = _bias_block(fbc_ref, fid_ref, i, blk, j * blk, blk, n_frames)
-        w = _tile_w(qm_ref[0], km_ref[0], bias_t, mask_k, m_ref[0])
+        s = _tile_s(qm_ref[0], km_ref[0], bias_t, mask_k)
         gv = _gv_stack(g_ref[0], vm_ref[0], A, blk)  # (A*bq, bk)
-        e_rows = e_ref[0]  # (A, bk)
+        cf = cf_ref[0]  # (A, bk) — per-arg log-domain key weights
+        m = m_ref[0]  # (bq, A) — per-arg row max
         den = den_ref[0]  # (bq, A)
         delta = delta_ref[0]  # (bq, A)
 
@@ -171,35 +203,30 @@ def _make_bwd_dkv_kernel(emit_ds: bool):
         def _():
             dk_ref[0] = jnp.zeros_like(dk_ref[0])
             dv_ref[0] = jnp.zeros_like(dv_ref[0])
-            de_ref[0] = jnp.zeros_like(de_ref[0])
+            dc_ref[0] = jnp.zeros_like(dc_ref[0])
 
-        comb = jnp.zeros_like(w)
-        gs = []
+        comb = jnp.zeros_like(s)
+        ps, gs = [], []
         for a in range(A):
-            inv_d = 1.0 / jnp.maximum(den[:, a : a + 1], 1e-30)  # (bq, 1)
-            term = gv[a * blk : (a + 1) * blk] - delta[:, a : a + 1]  # (bq, bk)
-            wd = w * inv_d
-            comb = comb + (term * inv_d) * e_rows[a][None, :]
-            gs.append(g_ref[0, a] * inv_d)  # inv_d-scaled grad stream (bq, dh)
-            de_ref[0, a] += jnp.sum(wd * term, axis=0)  # (bk,)
-        ds = w * comb
-        ds = jnp.where(mask_k[None, :] > 0, ds, 0.0)
+            inv_d = 1.0 / den[:, a : a + 1]  # den >= 1 by construction
+            p = jnp.exp(s + cf[a][None, :] - m[:, a : a + 1])  # (bq, bk)
+            term = gv[a * blk : (a + 1) * blk] - delta[:, a : a + 1]
+            ds_a = p * (term * inv_d)
+            comb = comb + ds_a
+            dc_ref[0, a] += jnp.sum(ds_a, axis=0)  # (bk,)
+            ps.append(p * inv_d)
+            gs.append(g_ref[0, a])  # (bq, dh)
+        comb = jnp.where(mask_k[None, :] > 0, comb, 0.0)
 
-        # dv = Σ_a p_a^T g_a = Σ_a e_a ∘ (w^T (inv_d_a ∘ g_a)): batch the A
-        # scaled streams along columns -> ONE (bk, bq) @ (bq, A·dh) GEMM,
-        # then per-arg key-side e scaling on the outputs (VPU)
-        gs_wide = jnp.concatenate(gs, axis=1)  # (bq, A*dh)
-        u_wide = _dot(w, gs_wide, contract=((0,), (0,)))  # (bk, A*dh)
-        dh = gs[0].shape[-1]
-        et = et_ref[0]  # (bk, A) — e as sublane columns for the row scaling
-        dv_acc = jnp.zeros_like(dv_ref[0])
-        for a in range(A):
-            dv_acc = dv_acc + u_wide[:, a * dh : (a + 1) * dh] * et[:, a : a + 1]
-        dv_ref[0] += dv_acc
-        dk_ref[0] += _dot(ds, qm_ref[0], contract=((0,), (0,)))
+        # dv = Σ_a (p_a/den_a)^T g_a: ONE (bk, A·bq) @ (A·bq, dh) GEMM
+        # over the stacked streams
+        pstack = jnp.concatenate(ps, axis=0)  # (A*bq, bk)
+        gstack = jnp.concatenate(gs, axis=0)  # (A*bq, dh)
+        dv_ref[0] += _dot(pstack, gstack, contract=((0,), (0,)))
+        dk_ref[0] += _dot(comb, qm_ref[0], contract=((0,), (0,)))
         if emit_ds:
             # DS layout (BH, Tq, Tk); the out index_map swaps (j, i) -> (i, j)
-            out_refs[3][0] = ds.astype(out_refs[3].dtype)
+            out_refs[3][0] = comb.astype(out_refs[3].dtype)
 
     return kernel
 
@@ -208,31 +235,32 @@ _bwd_dkv_kernel = _make_bwd_dkv_kernel(True)
 _bwd_dkv_noemit_kernel = _make_bwd_dkv_kernel(False)
 
 
-def _bwd_dq_kernel(qm_ref, km_ref, vm_ref, e_ref, mask_ref, fbc_ref, fid_ref,
+def _bwd_dq_kernel(qm_ref, km_ref, vm_ref, cf_ref, mask_ref, fbc_ref, fid_ref,
                    g_ref, m_ref, den_ref, delta_ref,
                    dq_ref, dfb_ref, *, n_args, n_frames, blk, fp_r, fp_c):
     # Recompute-mode companion (grid (BH, nq, nk), j innermost): re-derives
-    # the w/gv/ds tiles in VMEM to accumulate dq over j and the per-(B·H)
-    # frame-bias grad over all (i, j) — the (T,T) score-grad never touches
-    # HBM.  Output-block revisits are consecutive (b outermost), as Pallas
-    # requires.
+    # the per-arg p/gv/ds tiles in VMEM to accumulate dq over j and the
+    # per-(B·H) frame-bias grad over all (i, j) — the (T,T) score-grad
+    # never touches HBM.  Output-block revisits are consecutive (b
+    # outermost), as Pallas requires.
     i = pl.program_id(1)
     j = pl.program_id(2)
     A = n_args
     mask_k = mask_ref[0, 0, pl.ds(j * blk, blk)]
     bias_t = _bias_block(fbc_ref, fid_ref, i, blk, j * blk, blk, n_frames)
-    w = _tile_w(qm_ref[0], km_ref[0], bias_t, mask_k, m_ref[0])
+    s = _tile_s(qm_ref[0], km_ref[0], bias_t, mask_k)
     gv = _gv_stack(g_ref[0], vm_ref[0], A, blk)  # (A*bq, bk)
-    e_rows = e_ref[0]  # (A, bk)
+    cf = cf_ref[0]  # (A, bk)
+    m = m_ref[0]  # (bq, A)
     den = den_ref[0]  # (bq, A)
     delta = delta_ref[0]  # (bq, A)
-    comb = jnp.zeros_like(w)
+    comb = jnp.zeros_like(s)
     for a in range(A):
-        inv_d = 1.0 / jnp.maximum(den[:, a : a + 1], 1e-30)
+        inv_d = 1.0 / den[:, a : a + 1]  # den >= 1 by construction
+        p = jnp.exp(s + cf[a][None, :] - m[:, a : a + 1])
         term = gv[a * blk : (a + 1) * blk] - delta[:, a : a + 1]
-        comb = comb + (term * inv_d) * e_rows[a][None, :]
-    ds = w * comb
-    ds = jnp.where(mask_k[None, :] > 0, ds, 0.0)
+        comb = comb + p * (term * inv_d)
+    ds = jnp.where(mask_k[None, :] > 0, comb, 0.0)
 
     @pl.when(j == 0)
     def _():
@@ -256,9 +284,9 @@ def _bwd_dq_kernel(qm_ref, km_ref, vm_ref, e_ref, mask_ref, fbc_ref, fid_ref,
 # --------------------------------------------------------------------------
 # plumbing
 # --------------------------------------------------------------------------
-def _prep(qm, km, vm, e, key_mask, frame_bias, frame_ids):
+def _prep(qm, km, vm, cn, key_mask, frame_bias, frame_ids):
     B, H, T, dh = qm.shape
-    A = e.shape[2]
+    A = cn.shape[2]
     Fn = frame_bias.shape[-1]
     blk = _block_size(T)
     Tp = _round_up(T, blk)
@@ -271,18 +299,20 @@ def _prep(qm, km, vm, e, key_mask, frame_bias, frame_ids):
         )
 
     qf, kf, vf = padtd(qm), padtd(km), padtd(vm)
-    # e transposed to (BH, Tp, A): per-arg columns are natural sublane tiles
-    et = jnp.pad(e, ((0, 0), (0, 0), (0, 0), (0, Tp - T))).reshape(
+    # cn transposed to (BH, Tp, A): per-arg columns are natural sublane
+    # tiles.  Padded key positions get cn=0 — harmless, the padded s is
+    # NEG there.
+    ct = jnp.pad(cn, ((0, 0), (0, 0), (0, 0), (0, Tp - T))).reshape(
         BH, A, Tp
     ).transpose(0, 2, 1)
     mk = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, Tp - T)))[:, None, :]
     fid_flat = jnp.pad(frame_ids.astype(jnp.int32), (0, Tp - T), mode="edge")
     fid = fid_flat[:, None]
     fbc = frame_bias.astype(jnp.float32)[:, :, fid_flat]  # (H, F, Tp)
-    return qf, kf, vf, et, mk, fbc, fid, (B, H, A, T, dh, Tp, dp, blk, Fn)
+    return qf, kf, vf, ct, mk, fbc, fid, (B, H, A, T, dh, Tp, dp, blk, Fn)
 
 
-def _fwd(qf, kf, vf, et, mk, fbc, fid, dims, interpret):
+def _fwd(qf, kf, vf, ct, mk, fbc, fid, dims, interpret):
     B, H, A, T, dh, Tp, dp, blk, Fn = dims
     BH = B * H
     bq = bk = blk
@@ -305,56 +335,56 @@ def _fwd(qf, kf, vf, et, mk, fbc, fid, dims, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, A, bq, dp), lambda b, i, k: (b, 0, i, 0), memory_space=V),
-            pl.BlockSpec((1, bq, 1), lambda b, i, k: (b, i, 0), memory_space=V),
+            pl.BlockSpec((1, bq, A), lambda b, i, k: (b, i, 0), memory_space=V),
             pl.BlockSpec((1, bq, A), lambda b, i, k: (b, i, 0), memory_space=V),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, A, Tp, dp), jnp.float32),
-            jax.ShapeDtypeStruct((BH, Tp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Tp, A), jnp.float32),  # per-arg row max
             jax.ShapeDtypeStruct((BH, Tp, A), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, A * dp), jnp.float32),  # num_acc
             pltpu.VMEM((bq, A), jnp.float32),  # den_acc
-            pltpu.VMEM((bq, 1), jnp.float32),  # m_run
+            pltpu.VMEM((bq, A), jnp.float32),  # m_run (per-arg)
         ],
         interpret=interpret,
-    )(qf, kf, vf, et, mk, fbc, fid)
+    )(qf, kf, vf, ct, mk, fbc, fid)
     return out, mrow, den
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _mm_attn(qm, km, vm, e, key_mask, frame_bias, frame_ids_f, interpret, bwd_mode):
+def _mm_attn(qm, km, vm, cn, key_mask, frame_bias, frame_ids_f, interpret, bwd_mode):
     out, _ = _mm_attn_fwd(
-        qm, km, vm, e, key_mask, frame_bias, frame_ids_f, interpret, bwd_mode
+        qm, km, vm, cn, key_mask, frame_bias, frame_ids_f, interpret, bwd_mode
     )
     return out
 
 
-def _mm_attn_fwd(qm, km, vm, e, key_mask, frame_bias, frame_ids_f, interpret,
+def _mm_attn_fwd(qm, km, vm, cn, key_mask, frame_bias, frame_ids_f, interpret,
                  bwd_mode):
-    qf, kf, vf, et, mk, fbc, fid, dims = _prep(
-        qm, km, vm, e, key_mask, frame_bias, frame_ids_f.astype(jnp.int32)
+    qf, kf, vf, ct, mk, fbc, fid, dims = _prep(
+        qm, km, vm, cn, key_mask, frame_bias, frame_ids_f.astype(jnp.int32)
     )
     B, H, A, T, dh, Tp, dp, blk, Fn = dims
-    out, mrow, den = _fwd(qf, kf, vf, et, mk, fbc, fid, dims, interpret)
+    out, mrow, den = _fwd(qf, kf, vf, ct, mk, fbc, fid, dims, interpret)
     o = out.reshape(B, H, A, Tp, dp)[:, :, :, :T, :dh]
-    res = (qf, kf, vf, et, mk, fbc, fid, out, mrow, den, dims, key_mask, frame_ids_f)
+    res = (qf, kf, vf, ct, mk, fbc, fid, out, mrow, den, dims, key_mask, frame_ids_f)
     return o, res
 
 
 def _mm_attn_bwd(interpret, bwd_mode, res, g):
-    (qf, kf, vf, et, mk, fbc, fid, out, mrow, den, dims,
+    (qf, kf, vf, ct, mk, fbc, fid, out, mrow, den, dims,
      key_mask_in, frame_ids_f) = res
     B, H, A, T, dh, Tp, dp, blk, Fn = dims
     BH = B * H
     gf = jnp.pad(
         g.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, Tp - T), (0, dp - dh))
     ).reshape(BH, A, Tp, dp)
-    # delta transposed to (BH, Tp, A) like den (q-side columns); e back to
+    # delta transposed to (BH, Tp, A) like den (q-side columns); cn back to
     # row-major (BH, A, Tp) for the key-side lane broadcasts
     delta = jnp.sum(gf * out, axis=-1).transpose(0, 2, 1)  # (BH, Tp, A)
-    ef = et.transpose(0, 2, 1)  # (BH, A, Tp)
+    cf = ct.transpose(0, 2, 1)  # (BH, A, Tp)
 
     # the batched (A*blk, ·) stacks cap the useful tile size; 256 keeps the
     # A=5 stacks (~0.65 MB each) and the weight tiles within VMEM
@@ -401,26 +431,25 @@ def _mm_attn_bwd(interpret, bwd_mode, res, g):
             pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=V),
             pl.BlockSpec((1, blk, dp), lambda b, j, i: (b, j, 0), memory_space=V),
             pl.BlockSpec((1, A, blk), lambda b, j, i: (b, 0, j), memory_space=V),
-            pl.BlockSpec((1, blk, A), lambda b, j, i: (b, j, 0), memory_space=V),
             pl.BlockSpec((1, 1, Tp), lambda b, j, i: (b // H, 0, 0), memory_space=V),
             pl.BlockSpec((1, Fn, Tp), lambda b, j, i: (b % H, 0, 0), memory_space=V),
             pl.BlockSpec((Tp, 1), lambda b, j, i: (0, 0), memory_space=V),
             pl.BlockSpec((1, A, blk, dp), lambda b, j, i: (b, 0, i, 0), memory_space=V),
-            pl.BlockSpec((1, blk, 1), lambda b, j, i: (b, i, 0), memory_space=V),
+            pl.BlockSpec((1, blk, A), lambda b, j, i: (b, i, 0), memory_space=V),
             pl.BlockSpec((1, blk, A), lambda b, j, i: (b, i, 0), memory_space=V),
             pl.BlockSpec((1, blk, A), lambda b, j, i: (b, i, 0), memory_space=V),
         ],
         out_specs=dkv_out_specs,
         out_shape=dkv_out_shape,
         interpret=interpret,
-    )(qf, kf, vf, ef, et, mk, fbc, fid, gf, mrow, den, delta)
+    )(qf, kf, vf, cf, mk, fbc, fid, gf, mrow, den, delta)
 
     def unpad3(x):
         return x.reshape(B, H, Tp, dp)[:, :, :T, :dh]
 
     fid_flat = fid[:, 0]  # (Tp,)
     if emit:
-        dk, dv, de, ds = dkv_out
+        dk, dv, dc, ds = dkv_out
         # dq and the frame-bias grad from the emitted ds tiles — plain GEMMs
         # (precision matches the kernels so parity holds at 'highest')
         prec = _precision()
@@ -434,7 +463,7 @@ def _mm_attn_bwd(interpret, bwd_mode, res, g):
         dfb = dfb_per.reshape(B, H, Fn, Fn).sum(axis=0)  # (H,F,F)
         dq = unpad3(dq)
     else:
-        dk, dv, de = dkv_out
+        dk, dv, dc = dkv_out
         fp_r = _round_up(Fn, 8)
         fp_c = _round_up(Fn, LANE)
         dq_f, dfb_per = pl.pallas_call(
@@ -452,7 +481,7 @@ def _mm_attn_bwd(interpret, bwd_mode, res, g):
                 pl.BlockSpec((1, Fn, Tp), lambda b, i, j: (b % H, 0, 0), memory_space=V),
                 pl.BlockSpec((Tp, 1), lambda b, i, j: (0, 0), memory_space=V),
                 pl.BlockSpec((1, A, blk, dp), lambda b, i, j: (b, 0, i, 0), memory_space=V),
-                pl.BlockSpec((1, blk, 1), lambda b, i, j: (b, i, 0), memory_space=V),
+                pl.BlockSpec((1, blk, A), lambda b, i, j: (b, i, 0), memory_space=V),
                 pl.BlockSpec((1, blk, A), lambda b, i, j: (b, i, 0), memory_space=V),
                 pl.BlockSpec((1, blk, A), lambda b, i, j: (b, i, 0), memory_space=V),
             ],
@@ -465,16 +494,16 @@ def _mm_attn_bwd(interpret, bwd_mode, res, g):
                 jax.ShapeDtypeStruct((BH, fp_r, fp_c), jnp.float32),
             ],
             interpret=interpret,
-        )(qf, kf, vf, ef, mk, fbc, fid, gf, mrow, den, delta)
+        )(qf, kf, vf, cf, mk, fbc, fid, gf, mrow, den, delta)
         dq = unpad3(dq_f)
         dfb = dfb_per[:, :Fn, :Fn].reshape(B, H, Fn, Fn).sum(axis=0)
 
-    de_out = de.reshape(B, H, A, Tp)[:, :, :, :T]
+    dcn = dc.reshape(B, H, A, Tp)[:, :, :, :T]
     return (
         dq,
         unpad3(dk),
         unpad3(dv),
-        de_out,
+        dcn,
         jnp.zeros_like(key_mask_in),
         dfb,
         jnp.zeros_like(frame_ids_f),
@@ -510,7 +539,7 @@ def mm_shared_qk_attention(
     qm: jnp.ndarray,  # (B,H,T,dh) — caller folds the 1/sqrt(dh) scale in
     km: jnp.ndarray,
     vm: jnp.ndarray,
-    e: jnp.ndarray,  # (B,H,A,T) per-arg key weights (exp-normalized)
+    cn: jnp.ndarray,  # (B,H,A,T) per-arg log-domain key weights (c max-normalized)
     key_mask: jnp.ndarray,  # (B,T)
     frame_bias: jnp.ndarray,  # (H,F,F) relative-frame bias table
     frame_ids: jnp.ndarray,  # (T,)
@@ -524,7 +553,7 @@ def mm_shared_qk_attention(
         qm,
         km,
         vm,
-        e,
+        cn,
         key_mask.astype(jnp.float32),
         frame_bias.astype(jnp.float32),
         jnp.asarray(frame_ids).astype(jnp.float32),

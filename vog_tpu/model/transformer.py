@@ -258,19 +258,22 @@ class DecomposedRelAttention(nn.Module):
             "bhad,bhjd->bhaj", qg, km, preferred_element_type=jnp.float32
         ) * scale  # (B,H,A,T)
         c = jnp.where(key_mask[:, None, None, :] > 0, c, 0.0)
-        e = jnp.exp(c - c.max(-1, keepdims=True))  # (B,H,A,T) fp32
 
         use_kernel = (
             cfgm.mm_kernel and T >= PALLAS_MIN_T and jax.default_backend() == "tpu"
         )
         if use_kernel:
-            # fused kernel: w never materializes in HBM.  Kernel operands
-            # stay fp32 (see model/dtypes.py)
+            # fused kernel: score tiles never materialize in HBM.  Kernel
+            # operands stay fp32 (see model/dtypes.py); cn is the
+            # log-domain per-arg key weighting — the kernel forms the
+            # combined-logit softmax softmax_j(s + cn_a) per arg (see
+            # kernels/mm_attention.py for why NOT the w·e product form)
             from vog_tpu.kernels.mm_attention import mm_shared_qk_attention
 
+            cn = c - c.max(-1, keepdims=True)  # (B,H,A,T) fp32, <= 0
             pv = mm_shared_qk_attention(
                 (qm * scale).astype(jnp.float32), km.astype(jnp.float32),
-                vm.astype(jnp.float32), e, key_mask, fbias, frame_ids,
+                vm.astype(jnp.float32), cn, key_mask, fbias, frame_ids,
             )  # (B,H,A,T,dh)
         else:
             tok_bias = fbias[:, frame_ids][:, :, frame_ids]  # (H,T,T)
