@@ -323,6 +323,13 @@ def _fwd(qf, kf, vf, ct, mk, fbc, fid, dims, interpret):
         functools.partial(
             _fwd_kernel, n_args=A, n_frames=Fn, bq=bq, bk=bk, nk=nk
         ),
+        # the A per-arg probability tiles + their (A·bq, bk) stack live
+        # simultaneously: 20.4 MB scoped at P100 blk=512 vs the 16 MB
+        # default budget (caught by the on-chip gate, round 5 — same fix
+        # as kernels/grounding_head.py)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda b, i, k: (b, i, 0), memory_space=V),
