@@ -74,8 +74,19 @@ def xla_attention(
 
 # below this sequence length XLA's fused attention wins (kernel setup
 # overhead dominates; measured on v5e: T=200 XLA 15% faster, T=4000 the
-# Pallas kernel is 25% faster fwd and avoids the (H,T,T) HBM bias)
-PALLAS_MIN_T = 1024
+# Pallas kernel is 25% faster fwd and avoids the (H,T,T) HBM bias).
+# Env-overridable (VOG_PALLAS_MIN_T) for A/B at other shapes: the
+# round-5 combined-logit mm fallback materializes A (B,H,T,T) exps in
+# HBM, so the mm KERNEL threshold may want to differ — see
+# MM_PALLAS_MIN_T below.
+import os as _os
+
+PALLAS_MIN_T = int(_os.environ.get("VOG_PALLAS_MIN_T", "1024"))
+# the mm kernel's own gate: measured round-5 after the combined-logit
+# change (BASELINE §Round-5 sweep) — the fallback's A per-arg (B,H,T,T)
+# exp tensors grow HBM traffic with B, while the kernel keeps tiles in
+# VMEM, so the kernel can win at GT5 T=200 for larger batches
+MM_PALLAS_MIN_T = int(_os.environ.get("VOG_MM_PALLAS_MIN_T", "1024"))
 
 
 def attention(
@@ -260,7 +271,7 @@ class DecomposedRelAttention(nn.Module):
         c = jnp.where(key_mask[:, None, None, :] > 0, c, 0.0)
 
         use_kernel = (
-            cfgm.mm_kernel and T >= PALLAS_MIN_T and jax.default_backend() == "tpu"
+            cfgm.mm_kernel and T >= MM_PALLAS_MIN_T and jax.default_backend() == "tpu"
         )
         if use_kernel:
             # fused kernel: score tiles never materialize in HBM.  Kernel
