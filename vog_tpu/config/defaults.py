@@ -206,11 +206,14 @@ class MiscCfg:
     # (tests/test_int8_store.py).  Only affects ds.device_store tables;
     # host-path batches are untouched.  Overrides half_feats for tables.
     int8_feats: bool = False
-    # device-store row gather inside the step: "auto"/"off" = jnp.take
-    # against the 3-D row-contiguous tables (the measured fast path,
-    # GSPMD-partitionable — data/device_store.py §_table_shape); "on" =
-    # the Pallas manual-DMA kernel (kernels/gather.py; single-device
-    # meshes only — GSPMD cannot partition a bare pallas_call)
+    # device-store row gather inside the step: "off" = jnp.take against
+    # the 3-D row-contiguous tables (the measured fast path for ordinary
+    # tables, GSPMD-partitionable — data/device_store.py §_table_shape);
+    # "on" = the Pallas manual-DMA kernel (kernels/gather.py;
+    # single-device meshes only — GSPMD cannot partition a bare
+    # pallas_call); "auto" = take, switching to the DMA kernel for
+    # feats tables >= 8 GB where XLA's gather lowering OOMs via remat
+    # clones (measured round-5 at the 11.5 GB int8 P100 store)
     gather_kernel: str = "auto"
     # fp32 parity with the reference needs full-precision MXU matmuls
     # ("highest" = 3-pass bf16 fp32 emulation); "default" trades parity for

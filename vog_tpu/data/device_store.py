@@ -304,6 +304,13 @@ class DeviceFeatureTables:
         )
 
 
+# feats-table size past which gather_from_tables "auto" prefers the
+# manual-DMA kernel over XLA's gather (see the docstring below; the
+# failure was observed at 11.5 GB, the 7.5 GB-class bf16 P100 tables of
+# earlier rounds ran fine — 8 GB splits the two observations)
+_GATHER_KERNEL_BYTES = 8 * 1024**3
+
+
 def _row_width(table) -> int:
     """Logical row width of a packed table (2-D flat or 3-D row-tiled)."""
     w = 1
@@ -318,11 +325,18 @@ def gather_from_tables(batch: Dict, tables: Dict, kernel: str = "auto") -> Dict:
     schema.  Clip-view dims are recovered statically from prop_mask + row
     width.
 
-    ``kernel``: "auto"|"off" use ``jnp.take`` — against the 3-D
-    row-contiguous layout (``_table_shape``) XLA's gather is
-    bytes-gathered-bound, GSPMD-partitionable, and the measured fast path;
-    "on" routes through the Pallas manual-DMA kernel (kernels/gather.py,
-    single-device meshes only — GSPMD cannot partition the custom call)."""
+    ``kernel``: "off" forces ``jnp.take``; "on" forces the Pallas
+    manual-DMA kernel (kernels/gather.py, single-device meshes only —
+    GSPMD cannot partition the custom call); "auto" (production
+    default) is ``jnp.take`` against the 3-D row-contiguous layout
+    (bytes-gathered-bound, GSPMD-partitionable) for ordinary tables,
+    but switches to the DMA kernel once the feats table passes
+    ``_GATHER_KERNEL_BYTES``: at an 11.5 GB int8 P100 table, XLA's
+    generic gather lowering put FIVE 1.35 GB remat-fusion clones of
+    table slices live simultaneously and OOMed the 16 GB chip at
+    compile, while the DMA kernel (whose cost is only the bytes
+    gathered and whose footprint is the output) ran the same step at
+    39.9 ms e2e (round-5, BASELINE §P100-at-scale)."""
     import jax.numpy as jnp
 
     rows = batch["vid_rows"]  # (B, V) int32
@@ -330,7 +344,11 @@ def gather_from_tables(batch: Dict, tables: Dict, kernel: str = "auto") -> Dict:
     D = _row_width(tables["feats"]) // (F * P)
     Dv = _row_width(tables["seg"]) // F
     out = {k: v for k, v in batch.items() if k != "vid_rows"}
-    if kernel == "on":
+    if kernel == "on" or (
+        kernel == "auto" and tables["feats"].nbytes >= _GATHER_KERNEL_BYTES
+    ):
+        # gather_rows itself falls back to jnp.take off-TPU and for
+        # layouts the DMA slice rules reject, so "auto" stays safe
         from vog_tpu.kernels.gather import gather_rows as _take
     else:
         _take = lambda t, r: jnp.take(t, r, axis=0)
