@@ -5,6 +5,7 @@ request schema."""
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 import pytest
 
 from tests.conftest import small_cfg
@@ -177,3 +178,38 @@ def test_export_with_tables_requires_tables(fixture_dir, tmp_path):
     cfg, pred, glove = _predictor(fixture_dir)
     with pytest.raises(ValueError):
         export_predictor(pred, 2, tmp_path / "x.vogx", with_tables=True)
+
+
+def test_export_with_tables_bf16(fixture_dir, tmp_path):
+    """bf16 (half_feats) tables roundtrip through the artifact: np.savez
+    writes ml_dtypes.bfloat16 as a void dtype np.load can't hand back to
+    jax (round-5 bug — the with_tables artifact failed to LOAD); the
+    exporter now ships bf16 as uint16 + manifest dtype and the loader
+    views it back."""
+    from vog_tpu.data.device_store import DeviceFeatureTables
+
+    cfg = small_cfg(
+        fixture_dir,
+        **{"ds.conc_type": "spat", "misc.mesh_data": 1,
+           "misc.half_feats": True},
+    )
+    data = get_data(cfg, cfg.train.bs)
+    glove = data.vocab.vectors
+    state = init_state(cfg, glove, jax.random.PRNGKey(0), 2)
+    ds = data.valid_dl.ds
+    tables = DeviceFeatureTables(cfg, ds.store, half=True)
+    assert any(
+        v.dtype == jnp.bfloat16 for v in tables.tables.values()
+    ), "half_feats should give bf16 tables"
+    ds.device_rows = tables.rows
+    rows_batch = next(iter(data.valid_dl))
+
+    pred = Predictor(cfg, state.params, glove, tables=tables.tables)
+    path = export_predictor(pred, 2, tmp_path / "tb.vogx", with_tables=True)
+    loaded = ExportedPredictor(path)
+    for k, v in loaded._tables.items():
+        assert v.dtype == tables.tables[k].dtype, k
+    live, replay = pred(rows_batch), loaded(rows_batch)
+    np.testing.assert_allclose(
+        replay["scores"], live["scores"], rtol=1e-5, atol=1e-5
+    )

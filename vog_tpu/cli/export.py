@@ -94,6 +94,7 @@ def main(argv=None):
         platforms=plats,
         feature_encoding=encoding,
         with_tables=with_tables,
+        rows=dft.rows if with_tables else None,
     )
     size = sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
     print(f"exported {path} ({size / 1e6:.1f} MB, batch={batch})", flush=True)

@@ -213,6 +213,13 @@ def main(argv=None) -> Dict:
 
         pred = ExportedPredictor(artifact)
         data = get_data(cfg, cfg.train.bs)
+        if pred.manifest.get("with_tables") and pred.rows:
+            # requests carry vid_rows; source them via the artifact's own
+            # vid->row mapping (round-5: previously only a live store's
+            # mapping worked, so standalone artifacts couldn't selftest)
+            for dl in (data.train_dl, data.valid_dl, data.test_dl):
+                if dl is not None:
+                    dl.ds.device_rows = pred.rows
         max_batch = pred.batch_size
         buckets = False  # .vogx artifacts are fixed-shape StableHLO
         print(f"serving exported artifact {artifact}", flush=True)

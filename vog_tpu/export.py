@@ -42,6 +42,8 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from vog_tpu.config import Cfg
 
 _ENCODINGS = ("f32", "bf16", "int8")
@@ -152,6 +154,7 @@ def export_predictor(
     platforms: Optional[Sequence[str]] = None,
     feature_encoding: str = "f32",
     with_tables: bool = False,
+    rows: Optional[Dict[str, int]] = None,
 ) -> Path:
     """Serialize ``predictor`` (vog_tpu.serve.Predictor) at a fixed batch
     size.  ``platforms``: lowering targets (default: the current backend;
@@ -204,8 +207,21 @@ def export_predictor(
     out = Path(path)
     out.mkdir(parents=True, exist_ok=True)
     (out / "fn.bin").write_bytes(exported.serialize())
+    table_dtypes = {}
     if with_tables:
-        np.savez(out / "tables.npz", **host_tables)
+        # np.savez writes ml_dtypes.bfloat16 as a 2-byte VOID dtype that
+        # np.load can't hand back to jax (round-5 bug: the with_tables
+        # artifact failed to LOAD for bf16 tables).  Ship bf16 as a
+        # uint16 view + the real dtype in the manifest; the loader views
+        # it back.
+        packed = {}
+        for k, v in host_tables.items():
+            if v.dtype == jnp.bfloat16:
+                table_dtypes[k] = "bfloat16"
+                packed[k] = np.asarray(v).view(np.uint16)
+            else:
+                packed[k] = np.asarray(v)
+        np.savez(out / "tables.npz", **packed)
     manifest = {
         "format": "vogx-1",
         "batch_size": batch_size,
@@ -215,6 +231,14 @@ def export_predictor(
         },
         "feature_encoding": feature_encoding,
         "with_tables": with_tables,
+        # bf16 tables travel as uint16 in tables.npz (see above); the
+        # loader views entries listed here back to their real dtype
+        "table_dtypes": table_dtypes,
+        # vid_seg -> table row (with_tables artifacts): a standalone
+        # deployment needs the mapping to build vid_rows requests —
+        # round-5 fix: without it the artifact could only serve clients
+        # that already knew the live store's row assignment
+        "rows": {k: int(v) for k, v in rows.items()} if rows else None,
         "conc_type": cfg.ds.conc_type,
         "exp_setting": cfg.ds.exp_setting,
         "mdl_name": cfg.mdl.name,
@@ -249,9 +273,17 @@ class ExportedPredictor:
         self.batch_size = int(self.manifest["batch_size"])
         self.encoding = self.manifest.get("feature_encoding", "f32")
         self._tables = None
+        self.rows = self.manifest.get("rows")  # vid_seg -> table row
         if self.manifest.get("with_tables"):
+            tdt = self.manifest.get("table_dtypes", {})
             with np.load(p / "tables.npz") as z:
-                self._tables = {k: jax.device_put(z[k]) for k in z.files}
+                self._tables = {
+                    k: jax.device_put(
+                        z[k].view(jnp.bfloat16) if tdt.get(k) == "bfloat16"
+                        else z[k]
+                    )
+                    for k in z.files
+                }
 
     def dispatch(self, batch: Dict[str, np.ndarray]) -> Dict:
         """Async counterpart of ``__call__`` (same contract as
